@@ -1,0 +1,263 @@
+"""Device-resident SoA map storage + host-side sparse graph bookkeeping.
+
+Capability analog of the reference's pointer-graph map data model
+(`/root/reference/src/Map.cc`, `KeyFrame.cc`, `MapPoint.cc`): `KeyFrame*` /
+`MapPoint*` object graphs with per-object mutexes become
+
+- `MapArrays`: padded, statically-shaped device arrays (keyframe poses &
+  measurements, landmark states) that every matching / BA kernel consumes
+  directly — the TPU-native replacement for `std::set<KeyFrame*>` + mutexes
+  (`include/Map.h:64-67`). Updates are functional (`.at[].set`), published as
+  a new map generation (replacing `Map::mutexMapUpdate`).
+- `MapGraph`: the tiny, pointer-churny covisibility graph / spanning tree /
+  lifecycle state kept in numpy+dict on host (the reference's
+  `KeyFrame::UpdateConnections` covisibility machinery,
+  `src/KeyFrame.cc:235-309`, and `SetBadFlag` tree repair, `:379-470`).
+
+Capacity policy: all capacities are static jit shapes; exceeding one raises —
+callers size them per dataset (reference uses unbounded heap growth + culling;
+we use culling + fixed headroom).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, NamedTuple, Set
+
+import jax.numpy as jnp
+import numpy as np
+
+from .frame import FrameData
+
+INVALID = -1
+
+
+@dataclasses.dataclass(frozen=True)
+class MapCapacity:
+    max_keyframes: int = 256
+    max_points: int = 32768
+    max_features: int = 1024  # per keyframe; must match extractor capacity
+
+
+class MapArrays(NamedTuple):
+    """All device-resident map state. KF = max keyframes, P = max points,
+    N = features per keyframe."""
+
+    # -- keyframes --------------------------------------------------------
+    kf_pose: jnp.ndarray      # f32[KF,7]  Tcw (world->camera)
+    kf_valid: jnp.ndarray     # bool[KF]
+    kf_xy: jnp.ndarray        # f32[KF,N,2] undistorted keypoints
+    kf_level: jnp.ndarray     # i32[KF,N]
+    kf_angle: jnp.ndarray     # f32[KF,N]
+    kf_desc: jnp.ndarray      # u32[KF,N,8]
+    kf_uright: jnp.ndarray    # f32[KF,N]
+    kf_depth: jnp.ndarray     # f32[KF,N]
+    kf_feat_valid: jnp.ndarray  # bool[KF,N]
+    kf_mp: jnp.ndarray        # i32[KF,N] map-point id per feature (INVALID none)
+
+    # -- map points -------------------------------------------------------
+    mp_pos: jnp.ndarray       # f32[P,3] world position
+    mp_valid: jnp.ndarray     # bool[P]
+    mp_desc: jnp.ndarray      # u32[P,8] distinctive descriptor
+    mp_normal: jnp.ndarray    # f32[P,3] mean viewing direction
+    mp_min_dist: jnp.ndarray  # f32[P] scale-invariance band lower edge
+    mp_max_dist: jnp.ndarray  # f32[P]
+    mp_nobs: jnp.ndarray      # i32[P] observation count (stereo counts 2)
+
+    @property
+    def kf_capacity(self) -> int:
+        return self.kf_pose.shape[0]
+
+    @property
+    def point_capacity(self) -> int:
+        return self.mp_pos.shape[0]
+
+
+def empty_map(cap: MapCapacity) -> MapArrays:
+    KF, P, N = cap.max_keyframes, cap.max_points, cap.max_features
+    return MapArrays(
+        kf_pose=jnp.tile(
+            jnp.array([1, 0, 0, 0, 0, 0, 0], jnp.float32), (KF, 1)
+        ),
+        kf_valid=jnp.zeros((KF,), bool),
+        kf_xy=jnp.zeros((KF, N, 2), jnp.float32),
+        kf_level=jnp.zeros((KF, N), jnp.int32),
+        kf_angle=jnp.zeros((KF, N), jnp.float32),
+        kf_desc=jnp.zeros((KF, N, 8), jnp.uint32),
+        kf_uright=-jnp.ones((KF, N), jnp.float32),
+        kf_depth=-jnp.ones((KF, N), jnp.float32),
+        kf_feat_valid=jnp.zeros((KF, N), bool),
+        kf_mp=jnp.full((KF, N), INVALID, jnp.int32),
+        mp_pos=jnp.zeros((P, 3), jnp.float32),
+        mp_valid=jnp.zeros((P,), bool),
+        mp_desc=jnp.zeros((P, 8), jnp.uint32),
+        mp_normal=jnp.zeros((P, 3), jnp.float32),
+        mp_min_dist=jnp.zeros((P,), jnp.float32),
+        mp_max_dist=jnp.zeros((P,), jnp.float32),
+        mp_nobs=jnp.zeros((P,), jnp.int32),
+    )
+
+
+class MapGraph:
+    """Host-side sparse graph + lifecycle state (numpy / python containers).
+
+    Replaces: covisibility graph (`/root/reference/src/KeyFrame.cc:235-309`),
+    spanning tree + loop edges (`:311-348`), keyframe id bookkeeping, and the
+    per-point observation lists (`src/MapPoint.cc:109-150`). These are small,
+    irregular, and mutation-heavy — the wrong shape for device arrays — while
+    every O(N_features) quantity lives in `MapArrays`.
+    """
+
+    def __init__(self, cap: MapCapacity):
+        self.cap = cap
+        self.num_kfs = 0
+        self.next_point = 0
+        # free slots from culled KFs / points are recycled
+        self.free_kf_slots: List[int] = []
+        self.free_pt_slots: List[int] = []
+        self.kf_alive: np.ndarray = np.zeros(cap.max_keyframes, bool)
+        self.kf_frame_id: np.ndarray = np.full(cap.max_keyframes, -1, np.int64)
+        self.kf_timestamp: np.ndarray = np.zeros(cap.max_keyframes, np.float64)
+        # covisibility: weight[i][j] = # shared map points (>= threshold 15
+        # when queried, matching src/KeyFrame.cc:268)
+        self.covis_weight: Dict[int, Dict[int, int]] = {}
+        # spanning tree (parent per KF, children sets) + loop edges
+        self.parent: np.ndarray = np.full(cap.max_keyframes, -1, np.int64)
+        self.children: Dict[int, Set[int]] = {}
+        self.loop_edges: Dict[int, Set[int]] = {}
+        # per-point observations: point -> {kf: feat_idx}
+        self.obs: Dict[int, Dict[int, int]] = {}
+        # MapPoint lifecycle counters (found/visible ratio culling,
+        # src/MapPoint.cc:322-339 & src/LocalMapping.cc:335-369)
+        self.pt_visible: np.ndarray = np.zeros(cap.max_points, np.int32)
+        self.pt_found: np.ndarray = np.zeros(cap.max_points, np.int32)
+        self.pt_first_kf: np.ndarray = np.full(cap.max_points, -1, np.int64)
+        self.pt_alive: np.ndarray = np.zeros(cap.max_points, bool)
+        self.origin_kf: int = -1
+        self.big_change_counter = 0
+
+    # -- slot allocation --------------------------------------------------
+
+    def alloc_kf_slot(self) -> int:
+        if self.free_kf_slots:
+            return self.free_kf_slots.pop()
+        if self.num_kfs >= self.cap.max_keyframes:
+            raise RuntimeError(
+                f"keyframe capacity {self.cap.max_keyframes} exhausted"
+            )
+        slot = self.num_kfs
+        self.num_kfs += 1
+        return slot
+
+    def alloc_point_slots(self, n: int) -> np.ndarray:
+        slots = []
+        while self.free_pt_slots and len(slots) < n:
+            slots.append(self.free_pt_slots.pop())
+        remaining = n - len(slots)
+        if self.next_point + remaining > self.cap.max_points:
+            raise RuntimeError(f"map-point capacity {self.cap.max_points} exhausted")
+        slots.extend(range(self.next_point, self.next_point + remaining))
+        self.next_point += remaining
+        return np.asarray(slots, np.int64)
+
+    # -- covisibility -----------------------------------------------------
+
+    def set_covis(self, a: int, b: int, w: int):
+        if w <= 0:
+            self.covis_weight.get(a, {}).pop(b, None)
+            self.covis_weight.get(b, {}).pop(a, None)
+            return
+        self.covis_weight.setdefault(a, {})[b] = w
+        self.covis_weight.setdefault(b, {})[a] = w
+
+    def covis_neighbors(self, kf: int, min_weight: int = 0, top_k: int = 0):
+        """Ordered covisible KFs (best first) — GetBestCovisibilityKeyFrames /
+        GetCovisiblesByWeight analog (src/KeyFrame.cc:136-150)."""
+        items = [
+            (j, w)
+            for j, w in self.covis_weight.get(kf, {}).items()
+            if w >= min_weight and self.kf_alive[j]
+        ]
+        items.sort(key=lambda t: -t[1])
+        if top_k:
+            items = items[:top_k]
+        return [j for j, _ in items]
+
+    def update_connections(self, kf: int, kf_mp_row: np.ndarray, obs_for_new=True):
+        """Rebuild covisibility for `kf` from its point associations and wire
+        the spanning tree (src/KeyFrame.cc:235-309). `kf_mp_row` is i32[N]."""
+        counter: Dict[int, int] = {}
+        for pt in kf_mp_row:
+            if pt < 0 or not self.pt_alive[pt]:
+                continue
+            for other in self.obs.get(int(pt), {}):
+                if other != kf and self.kf_alive[other]:
+                    counter[other] = counter.get(other, 0) + 1
+        th = 15
+        best, best_w = -1, 0
+        any_connected = False
+        for other, w in counter.items():
+            if w > best_w:
+                best, best_w = other, w
+            if w >= th:
+                self.set_covis(kf, other, w)
+                any_connected = True
+        if not any_connected and best >= 0:
+            self.set_covis(kf, best, best_w)
+        # spanning tree: first connection becomes parent (src/KeyFrame.cc:300-306)
+        if obs_for_new and self.parent[kf] < 0 and kf != self.origin_kf and best >= 0:
+            self.parent[kf] = best
+            self.children.setdefault(best, set()).add(kf)
+
+    # -- observations -----------------------------------------------------
+
+    def add_observation(self, pt: int, kf: int, feat_idx: int, is_stereo: bool):
+        self.obs.setdefault(pt, {})[kf] = feat_idx
+
+    def erase_observation(self, pt: int, kf: int):
+        self.obs.get(pt, {}).pop(kf, None)
+
+    def n_obs(self, pt: int) -> int:
+        return len(self.obs.get(pt, {}))
+
+    # -- lifecycle --------------------------------------------------------
+
+    def kill_point(self, pt: int):
+        self.pt_alive[pt] = False
+        self.obs.pop(pt, None)
+        self.free_pt_slots.append(int(pt))
+
+    def kill_keyframe(self, kf: int):
+        """SetBadFlag analog with spanning-tree child re-parenting
+        (src/KeyFrame.cc:379-470, simplified: children adopt best covisible
+        candidate among {remaining parents}, fallback to grandparent)."""
+        if kf == self.origin_kf:
+            return
+        # detach covisibility
+        for other in list(self.covis_weight.get(kf, {})):
+            self.covis_weight[other].pop(kf, None)
+        self.covis_weight.pop(kf, None)
+        # re-parent children: candidates start with kf's parent
+        kids = self.children.pop(kf, set())
+        parent = int(self.parent[kf])
+        candidates = {parent} if parent >= 0 else set()
+        for child in kids:
+            best_w, best_p = 0, parent
+            for cand in candidates:
+                w = self.covis_weight.get(child, {}).get(cand, 0)
+                if w > best_w:
+                    best_w, best_p = w, cand
+            self.parent[child] = best_p
+            if best_p >= 0:
+                self.children.setdefault(best_p, set()).add(child)
+                candidates.add(child)
+        if parent >= 0:
+            self.children.get(parent, set()).discard(kf)
+        self.kf_alive[kf] = False
+        self.free_kf_slots.append(int(kf))
+
+    def alive_kfs(self) -> np.ndarray:
+        return np.nonzero(self.kf_alive)[0]
+
+    def alive_points(self) -> np.ndarray:
+        return np.nonzero(self.pt_alive)[0]
