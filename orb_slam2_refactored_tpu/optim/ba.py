@@ -1,0 +1,256 @@
+"""Bundle adjustment: Levenberg-Marquardt with Schur-complement landmark
+marginalization, matrix-free CG on the reduced camera system.
+
+Capability analog of the reference's g2o BA stack — `BundleAdjustment` /
+`LocalBundleAdjustment` (`/root/reference/src/Optimizer.cc:204-343,491-736`)
+on top of `BlockSolver` Schur marginalization
+(`Thirdparty/g2o/g2o/core/block_solver.hpp:51-87`) and LM with adaptive
+lambda (`core/optimization_algorithm_levenberg.cpp:47-151`).
+
+TPU-first (not a port of g2o's sparse architecture):
+- Observations live in the map's natural dense layout `[K, N]` (keyframe x
+  feature slot) with -1 padding: residuals and both Jacobian blocks
+  (pose [3,6], point [3,3]) for every observation come from ONE vmapped
+  jacfwd — no edge objects, no sparse matrix assembly.
+- The Schur-reduced camera system `S = Hpp - U Hll^-1 U^T` is never formed:
+  CG runs matrix-free, where `U^T v` is a scatter-add over points and
+  `U (G w)` a gather — exactly the shape that shards over a keyframe-axis
+  device mesh with one psum (see `parallel/sharded_ba.py`).
+- Fixed keyframes (gauge / local-BA frontier, `src/Optimizer.cc:526-537`)
+  are a boolean mask projecting their tangent rows out of CG.
+- Huber kernel with the reference's chi2 deltas (5.991 mono / 7.815 stereo).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..geometry import projection as proj
+from ..geometry import se3
+
+CHI2_MONO = 5.991
+CHI2_STEREO = 7.815
+
+
+class BAProblem(NamedTuple):
+    kf_pose: jnp.ndarray    # f32[K,7] world->camera
+    kf_fixed: jnp.ndarray   # bool[K] gauge/frontier frames (not optimized)
+    obs_uv: jnp.ndarray     # f32[K,N,2]
+    obs_ur: jnp.ndarray     # f32[K,N] (<0 -> mono observation)
+    obs_pt: jnp.ndarray     # i32[K,N] point index (-1 -> no observation)
+    obs_inv_s2: jnp.ndarray  # f32[K,N]
+    pt_pos: jnp.ndarray     # f32[P,3]
+    pt_valid: jnp.ndarray   # bool[P]
+
+
+class BAResult(NamedTuple):
+    kf_pose: jnp.ndarray
+    pt_pos: jnp.ndarray
+    initial_cost: jnp.ndarray
+    final_cost: jnp.ndarray
+    obs_inlier: jnp.ndarray  # bool[K,N] final chi2 gate per observation
+
+
+def _residual_one(pose, pt, uv, ur, has_ur, cam):
+    xc = se3.transform(pose, pt)
+    pred = proj.project_stereo(cam, xc)
+    r = jnp.concatenate([uv, jnp.where(has_ur, ur, 0.0)[None]]) - pred
+    r = r.at[2].set(jnp.where(has_ur, r[2], 0.0))
+    # depth gate: points behind the camera contribute nothing
+    return jnp.where(xc[2] > 1e-2, r, jnp.zeros(3))
+
+
+def _residuals_jacobians(kf_pose, pt_pos, p: BAProblem, cam):
+    """r[K,N,3], Jp[K,N,3,6], Jl[K,N,3,3] for every observation slot."""
+    has_ur = p.obs_ur > 0
+    pt_idx = jnp.clip(p.obs_pt, 0, pt_pos.shape[0] - 1)
+    pts = pt_pos[pt_idx]  # [K,N,3]
+
+    def obs_fn(pose, pt, uv, ur, h):
+        def f(dp, dl):
+            return _residual_one(se3.retract(pose, dp), pt + dl, uv, ur, h, cam)
+
+        z6, z3 = jnp.zeros(6), jnp.zeros(3)
+        r = f(z6, z3)
+        Jp = jax.jacfwd(f, argnums=0)(z6, z3)
+        Jl = jax.jacfwd(f, argnums=1)(z6, z3)
+        return r, Jp, Jl
+
+    fn = jax.vmap(jax.vmap(obs_fn, in_axes=(None, 0, 0, 0, 0)),
+                  in_axes=(0, 0, 0, 0, 0))
+    return fn(kf_pose, pts, p.obs_uv, p.obs_ur, has_ur)
+
+
+def _cost_only(kf_pose, pt_pos, p: BAProblem, cam, w_valid, huber_delta,
+               use_huber, axis_name=None):
+    has_ur = p.obs_ur > 0
+    pt_idx = jnp.clip(p.obs_pt, 0, pt_pos.shape[0] - 1)
+    pts = pt_pos[pt_idx]
+    fn = jax.vmap(jax.vmap(_residual_one, in_axes=(None, 0, 0, 0, 0, None)),
+                  in_axes=(0, 0, 0, 0, 0, None))
+    r = fn(kf_pose, pts, p.obs_uv, p.obs_ur, has_ur, cam)
+    chi2 = jnp.sum(r * r, -1) * p.obs_inv_s2
+    rho = _huber_rho(chi2, huber_delta, use_huber)
+    return _psum(jnp.sum(jnp.where(w_valid, rho, 0.0)), axis_name), chi2
+
+
+def _psum(x, axis_name):
+    """Cross-shard reduction when running keyframe-sharded under shard_map."""
+    return jax.lax.psum(x, axis_name) if axis_name is not None else x
+
+
+def _huber_rho(chi2, delta, use_huber):
+    """g2o Huber on the error norm: rho(s) = s if sqrt(s)<=d else 2d*sqrt(s)-d^2."""
+    s = jnp.sqrt(jnp.maximum(chi2, 1e-12))
+    rho = jnp.where(s <= delta, chi2, 2.0 * delta * s - delta * delta)
+    return jnp.where(use_huber, rho, chi2)
+
+
+def ba_solve(
+    p: BAProblem,
+    cam: proj.CameraIntrinsics,
+    iters: int = 10,
+    cg_iters: int = 50,
+    use_huber: bool = True,
+    chi2_gate: bool = True,
+    axis_name: str = None,
+) -> BAResult:
+    """When `axis_name` is given, the problem's keyframe axis is assumed
+    sharded under `shard_map(mesh, axis_name)` with point arrays replicated:
+    all point-space reductions and CG scalars become psums over ICI — the
+    keyframe-sharded distributed global BA of BASELINE.json configs[4]."""
+    K, N = p.obs_uv.shape[:2]
+    P = p.pt_pos.shape[0]
+    has_ur = p.obs_ur > 0
+    huber_delta = jnp.sqrt(jnp.where(has_ur, CHI2_STEREO, CHI2_MONO))
+    chi2_th = jnp.where(has_ur, CHI2_STEREO, CHI2_MONO)
+    obs_ok0 = (p.obs_pt >= 0) & p.pt_valid[jnp.clip(p.obs_pt, 0, P - 1)]
+    pt_idx = jnp.clip(p.obs_pt, 0, P - 1)
+    free = ~p.kf_fixed  # [K]
+
+    def lm_step(state, _):
+        kf_pose, pt_pos, lam, prev_cost = state
+        r, Jp, Jl = _residuals_jacobians(kf_pose, pt_pos, p, cam)
+        chi2 = jnp.sum(r * r, -1) * p.obs_inv_s2
+        s = jnp.sqrt(jnp.maximum(chi2, 1e-12))
+        w_huber = jnp.where(use_huber & (s > huber_delta), huber_delta / s, 1.0)
+        w = jnp.where(obs_ok0, p.obs_inv_s2 * w_huber, 0.0)  # [K,N]
+
+        JpW = Jp * w[..., None, None]
+        JlW = Jl * w[..., None, None]
+        # block-diagonal Hessians
+        Hpp = jnp.einsum("knci,kncj->kij", JpW, Jp)           # [K,6,6]
+        g_p = jnp.einsum("knci,knc->ki", JpW, r)              # [K,6]
+        Hll_obs = jnp.einsum("knci,kncj->knij", JlW, Jl)      # [K,N,3,3]
+        g_l_obs = jnp.einsum("knci,knc->kni", JlW, r)         # [K,N,3]
+        flat_pt = pt_idx.reshape(-1)
+        Hll = _psum(
+            jnp.zeros((P, 3, 3))
+            .at[flat_pt]
+            .add(jnp.where(obs_ok0.reshape(-1, 1, 1) > 0, Hll_obs.reshape(-1, 3, 3), 0.0)),
+            axis_name,
+        )
+        g_l = _psum(
+            jnp.zeros((P, 3))
+            .at[flat_pt]
+            .add(jnp.where(obs_ok0.reshape(-1, 1), g_l_obs.reshape(-1, 3), 0.0)),
+            axis_name,
+        )
+        # damping: H + lam*diag(H) + eps on both blocks
+        eye6 = jnp.eye(6)
+        eye3 = jnp.eye(3)
+        dp_diag = jnp.diagonal(Hpp, axis1=1, axis2=2)
+        Hpp_d = Hpp + (lam * dp_diag + 1e-6)[:, :, None] * eye6[None]
+        dl_diag = jnp.diagonal(Hll, axis1=1, axis2=2)
+        Hll_d = Hll + (lam * dl_diag + 1e-6)[:, :, None] * eye3[None]
+        G = jnp.linalg.inv(Hll_d + 1e-9 * eye3[None])  # [P,3,3]
+
+        # W_obs = JpW^T Jl per obs: [K,N,6,3]
+        W_obs = jnp.einsum("knci,kncj->knij", JpW, Jl)
+
+        def U_T(v):
+            """v [K,6] -> [P,3]: sum_obs W_obs^T v_k scattered to points."""
+            contrib = jnp.einsum("knij,ki->knj", W_obs, v)  # [K,N,3]
+            return _psum(
+                jnp.zeros((P, 3)).at[flat_pt].add(
+                    jnp.where(obs_ok0.reshape(-1, 1), contrib.reshape(-1, 3), 0.0)
+                ),
+                axis_name,
+            )
+
+        def U(y):
+            """y [P,3] -> [K,6]: gather per obs, sum over features."""
+            yk = y[pt_idx]  # [K,N,3]
+            contrib = jnp.einsum("knij,knj->kni", W_obs, yk)
+            return jnp.where(obs_ok0[..., None], contrib, 0.0).sum(1)
+
+        def S_mv(v):
+            v = v * free[:, None]
+            out = jnp.einsum("kij,kj->ki", Hpp_d, v)
+            w1 = U_T(v)
+            w2 = jnp.einsum("pij,pj->pi", G, w1)
+            out = out - U(w2)
+            return out * free[:, None]
+
+        # rhs = -(g_p - U G g_l), projected to free frames
+        rhs = -(g_p - U(jnp.einsum("pij,pj->pi", G, g_l))) * free[:, None]
+
+        # block-Jacobi preconditioner from damped Hpp
+        Minv = jnp.linalg.inv(Hpp_d + 1e-9 * eye6[None])
+
+        def precond(v):
+            return jnp.einsum("kij,kj->ki", Minv, v) * free[:, None]
+
+        def cg_body(cg_state, _):
+            x, rr, z, pdir, rz = cg_state
+            Ap = S_mv(pdir)
+            denom = _psum(jnp.sum(pdir * Ap), axis_name)
+            alpha = rz / jnp.where(jnp.abs(denom) < 1e-12, 1e-12, denom)
+            x = x + alpha * pdir
+            rr = rr - alpha * Ap
+            z = precond(rr)
+            rz_new = _psum(jnp.sum(rr * z), axis_name)
+            beta = rz_new / jnp.where(jnp.abs(rz) < 1e-12, 1e-12, rz)
+            pdir = z + beta * pdir
+            return (x, rr, z, pdir, rz_new), None
+
+        x0 = jnp.zeros_like(rhs)
+        z0 = precond(rhs)
+        (dp, *_), _ = jax.lax.scan(
+            cg_body,
+            (x0, rhs, z0, z0, _psum(jnp.sum(rhs * z0), axis_name)),
+            None,
+            length=cg_iters,
+        )
+
+        # back-substitute landmarks: dl = G (-g_l - U^T dp)
+        dl = jnp.einsum("pij,pj->pi", G, -g_l - U_T(dp))
+        dl = jnp.where(p.pt_valid[:, None], dl, 0.0)
+
+        new_pose = se3.retract(kf_pose, dp)
+        new_pose = jnp.where(free[:, None], new_pose, kf_pose)
+        new_pts = pt_pos + dl
+
+        new_cost, _ = _cost_only(new_pose, new_pts, p, cam, obs_ok0,
+                                 huber_delta, use_huber, axis_name)
+        improved = new_cost < prev_cost
+        kf_pose = jnp.where(improved, new_pose, kf_pose)
+        pt_pos = jnp.where(improved, new_pts, pt_pos)
+        lam = jnp.clip(jnp.where(improved, lam * 0.4, lam * 5.0), 1e-8, 1e5)
+        cost = jnp.where(improved, new_cost, prev_cost)
+        return (kf_pose, pt_pos, lam, cost), cost
+
+    cost0, _ = _cost_only(
+        p.kf_pose, p.pt_pos, p, cam, obs_ok0,
+        jnp.sqrt(jnp.where(has_ur, CHI2_STEREO, CHI2_MONO)), use_huber, axis_name,
+    )
+    (kf_pose, pt_pos, _, final_cost), _ = jax.lax.scan(
+        lm_step, (p.kf_pose, p.pt_pos, jnp.float32(1e-4), cost0), None, length=iters
+    )
+    _, chi2 = _cost_only(kf_pose, pt_pos, p, cam, obs_ok0,
+                         jnp.sqrt(chi2_th), use_huber, axis_name)
+    inlier = obs_ok0 & (chi2 <= chi2_th) if chi2_gate else obs_ok0
+    return BAResult(kf_pose, pt_pos, cost0, final_cost, inlier)

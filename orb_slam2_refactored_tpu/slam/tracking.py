@@ -1,0 +1,406 @@
+"""Tracking stage: per-frame pose estimation over device-resident map state.
+
+Capability analog of the reference `Tracking`
+(`/root/reference/src/Tracking.cc:1188-1346`): stereo/RGB-D initialization,
+motion-model tracking, local-map tracking, keyframe-need decision and
+trajectory recording. TPU-first redesign:
+
+- The entire per-frame estimation (motion-model projection match -> pose LM ->
+  whole-map projection match -> pose LM -> inlier stats) is ONE jitted program
+  (`_track_impl`) with static shapes; the host only makes the keyframe
+  decision from returned counts (no mutexes, no threads).
+- "Local map" selection (`Tracking::LocalMap`, :55-185) is unnecessary at
+  TUM scale on TPU: the matcher brute-forces every live map point (masked
+  dense Hamming) — the covisibility window only re-enters for very large maps.
+- Map insertion (`StereoInitialization` :965, `CreateMapPoints` :685) is a
+  second jitted program scattering the new keyframe + unprojected landmarks
+  into the SoA `MapArrays`; the sparse graph bookkeeping stays on host.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..geometry import projection as proj
+from ..geometry import se3
+from ..ops import matching
+from ..ops.orb import OrbExtractor, OrbFeatures
+from ..optim.pose_opt import pose_optimize
+from .frame import FrameData, scale_factors
+from .map_state import INVALID, MapArrays, MapCapacity, MapGraph, empty_map
+
+
+@dataclasses.dataclass
+class TrackerConfig:
+    width: int
+    height: int
+    fx: float
+    fy: float
+    cx: float
+    cy: float
+    bf: float = 0.0
+    th_depth: float = 35.0          # close/far split = bf/fx * ThDepth analog
+    n_features: int = 1000
+    n_levels: int = 8
+    scale_factor: float = 1.2
+    ini_th_fast: float = 20.0
+    min_th_fast: float = 7.0
+    map_capacity: MapCapacity = None
+    mm_radius: float = 15.0         # motion-model search window (px at level 0)
+    local_radius: float = 3.0       # local-map search window
+    min_matches_mm: int = 20
+    min_inliers_track: int = 10
+    kf_ref_ratio: float = 0.75      # NeedNewKeyFrame ratio gate (:522 thRefRatio)
+    kf_min_interval: int = 0
+    kf_max_interval: int = 30
+
+    def __post_init__(self):
+        if self.map_capacity is None:
+            self.map_capacity = MapCapacity(
+                max_keyframes=256, max_points=16384, max_features=self.n_features
+            )
+
+
+class TrackState:
+    NOT_INITIALIZED = 0
+    OK = 1
+    LOST = 2
+
+
+class Tracker:
+    """Host-orchestrated tracking over jitted device programs (RGB-D/stereo)."""
+
+    def __init__(self, cfg: TrackerConfig):
+        self.cfg = cfg
+        self.cam = proj.CameraIntrinsics.create(cfg.fx, cfg.fy, cfg.cx, cfg.cy, cfg.bf)
+        self.extractor = OrbExtractor(
+            cfg.height, cfg.width, cfg.n_features, cfg.scale_factor,
+            cfg.n_levels, cfg.ini_th_fast, cfg.min_th_fast,
+        )
+        self.sf, self.sigma2, self.inv_sigma2 = scale_factors(
+            cfg.n_levels, cfg.scale_factor
+        )
+        self.map = empty_map(cfg.map_capacity)
+        self.graph = MapGraph(cfg.map_capacity)
+        self.state = TrackState.NOT_INITIALIZED
+
+        self.pose = np.asarray(se3.identity())
+        self.velocity = np.asarray(se3.identity())
+        self.pose_dev = jnp.asarray(self.pose)
+        self.velocity_dev = jnp.asarray(self.velocity)
+        self.last_frame: Optional[FrameData] = None
+        self.last_mp: Optional[np.ndarray] = None
+        self.last_mp_dev = None
+        self.ref_kf = -1
+        self.ref_kf_tracked = 0
+        self.frames_since_kf = 0
+        self.frame_id = 0
+        self.trajectory: List[np.ndarray] = []
+        self.track_info: List[dict] = []
+
+        self._prepare = jax.jit(self._prepare_impl)
+        self._track = jax.jit(self._track_impl)
+        self._step = jax.jit(self._step_impl)
+        self._insert_kf = jax.jit(self._insert_kf_impl, donate_argnums=(0,))
+
+    # ------------------------------------------------------------------
+    # jitted programs
+    # ------------------------------------------------------------------
+
+    def _prepare_impl(self, img, depth_img) -> FrameData:
+        """Extract ORB + associate depth (ComputeStereoFromRGBD analog,
+        `/root/reference/src/System.cc:197-219`)."""
+        feats: OrbFeatures = self.extractor._extract_impl(img)
+        xi = jnp.clip(jnp.round(feats.xy[:, 0]).astype(jnp.int32), 0, self.cfg.width - 1)
+        yi = jnp.clip(jnp.round(feats.xy[:, 1]).astype(jnp.int32), 0, self.cfg.height - 1)
+        d = depth_img[yi, xi]
+        has_d = d > 1e-3
+        u_right = jnp.where(has_d, feats.xy[:, 0] - self.cfg.bf / jnp.maximum(d, 1e-3), -1.0)
+        return FrameData(
+            xy=feats.xy,
+            xy_raw=feats.xy,
+            level=feats.level,
+            angle=feats.angle,
+            response=feats.response,
+            desc=feats.desc,
+            u_right=u_right,
+            depth=jnp.where(has_d, d, -1.0),
+            valid=feats.valid,
+        )
+
+    def _track_impl(
+        self,
+        frame: FrameData,
+        last: FrameData,
+        last_mp,
+        m: MapArrays,
+        pose_last,
+        velocity,
+    ):
+        cfg = self.cfg
+        pred = se3.compose(velocity, pose_last)
+
+        # ---- 1. motion-model matching against last frame's landmarks ----
+        lm_idx = jnp.clip(last_mp, 0, m.point_capacity - 1)
+        lm_pos = m.mp_pos[lm_idx]
+        lm_ok = (last_mp >= 0) & m.mp_valid[lm_idx]
+        mm = matching.search_last_frame(
+            frame.xy, frame.level, frame.desc, frame.valid,
+            last.xy, last.level, last.desc, lm_ok,
+            lm_ok, lm_pos, pred, self.cam, self.sf,
+            radius=cfg.mm_radius,
+        )
+        keep = matching.rotation_consistency(
+            last.angle,
+            jnp.where(mm.idx >= 0, frame.angle[jnp.clip(mm.idx, 0, frame.capacity - 1)], 0.0),
+            mm.valid,
+        )
+        midx = jnp.clip(mm.idx, 0, frame.capacity - 1)
+        obs_uv = frame.xy[midx]
+        obs_ur = frame.u_right[midx]
+        inv_s2 = self.inv_sigma2[frame.level[midx]]
+        n_mm = jnp.sum(keep.astype(jnp.int32))
+        r1 = pose_optimize(
+            pred, lm_pos, obs_uv, obs_ur, inv_s2, keep, self.cam
+        )
+
+        # ---- 2. whole-map projection matching (local-map tracking) ----
+        taken = jnp.zeros((frame.capacity,), bool).at[midx].max(keep & r1.inliers)
+        feat_mp = jnp.full((frame.capacity,), INVALID, jnp.int32).at[midx].max(
+            jnp.where(keep & r1.inliers, last_mp, INVALID)
+        )
+        lm = matching.search_by_projection(
+            frame.xy, frame.level, frame.desc, frame.valid & ~taken,
+            m.mp_pos, m.mp_desc, m.mp_normal, m.mp_min_dist, m.mp_max_dist,
+            m.mp_valid, r1.pose, self.cam, self.sf,
+            radius=cfg.local_radius,
+            image_bounds=(0.0, float(cfg.width), 0.0, float(cfg.height)),
+        )
+        # per-point match -> per-feature assignment
+        pidx = jnp.clip(lm.idx, 0, frame.capacity - 1)
+        feat_mp = feat_mp.at[pidx].max(
+            jnp.where(lm.valid, jnp.arange(m.point_capacity, dtype=jnp.int32), INVALID)
+        )
+
+        # ---- 3. final pose refinement over every assigned landmark ----
+        has_mp = feat_mp >= 0
+        fp = jnp.clip(feat_mp, 0, m.point_capacity - 1)
+        pts = m.mp_pos[fp]
+        r2 = pose_optimize(
+            r1.pose, pts, frame.xy, frame.u_right,
+            self.inv_sigma2[frame.level], has_mp, self.cam,
+        )
+        inl = r2.inliers & has_mp
+        feat_mp_final = jnp.where(inl, feat_mp, INVALID)
+
+        # ---- 4. stats for the keyframe decision ----
+        close = frame.depth > 0
+        close = close & (frame.depth < (cfg.bf / cfg.fx) * cfg.th_depth)
+        tracked_close = jnp.sum((inl & close).astype(jnp.int32))
+        untracked_close = jnp.sum((close & ~inl & frame.valid).astype(jnp.int32))
+        return (
+            r2.pose,
+            feat_mp_final,
+            r2.num_inliers,
+            n_mm,
+            tracked_close,
+            untracked_close,
+        )
+
+    def _step_impl(
+        self, img, depth_img, last: FrameData, last_mp, m: MapArrays,
+        pose_last, velocity,
+    ):
+        """Fused per-frame program: extract + depth-associate + track.
+
+        One dispatch, one scalar pack back to host — the whole per-frame
+        tracking hot path lives in a single compiled program (the TPU analog
+        of the reference's TrackStereo/TrackRGBD frontends + Tracking::Update,
+        `/root/reference/src/System.cc:430-543` + `src/Tracking.cc:1188-1346`).
+        """
+        frame = self._prepare_impl(img, depth_img)
+        pose, feat_mp, n_inl, n_mm, t_close, u_close = self._track_impl(
+            frame, last, last_mp, m, pose_last, velocity
+        )
+        vel_new = se3.compose(pose, se3.inverse(pose_last))
+        host_pack = jnp.concatenate(
+            [
+                pose,
+                vel_new,
+                jnp.stack([n_inl, n_mm, t_close, u_close]).astype(jnp.float32),
+            ]
+        )
+        return frame, pose, vel_new, feat_mp, host_pack
+
+    def _insert_kf_impl(
+        self, m: MapArrays, slot, frame: FrameData, pose, feat_mp, new_slots
+    ):
+        """Scatter a keyframe + newly unprojected landmarks into MapArrays.
+
+        new_slots: i32[N] target point slot per feature (-1 = don't create).
+        New landmarks take the feature descriptor, the viewing direction as
+        normal, and a scale band from the feature's level
+        (MapPoint ctor + UpdateNormalAndDepth, src/MapPoint.cc:44-82,341-392).
+        """
+        m = m._replace(
+            kf_pose=m.kf_pose.at[slot].set(pose),
+            kf_valid=m.kf_valid.at[slot].set(True),
+            kf_xy=m.kf_xy.at[slot].set(frame.xy),
+            kf_level=m.kf_level.at[slot].set(frame.level),
+            kf_angle=m.kf_angle.at[slot].set(frame.angle),
+            kf_desc=m.kf_desc.at[slot].set(frame.desc),
+            kf_uright=m.kf_uright.at[slot].set(frame.u_right),
+            kf_depth=m.kf_depth.at[slot].set(frame.depth),
+            kf_feat_valid=m.kf_feat_valid.at[slot].set(frame.valid),
+        )
+        # unproject new landmarks from depth through the camera pose
+        create = new_slots >= 0
+        xc = proj.unproject(self.cam, frame.xy, jnp.maximum(frame.depth, 1e-3))
+        pose_wc = se3.inverse(pose)
+        xw = se3.transform(pose_wc, xc)
+        cam_center = se3.translation(pose_wc)
+        view = xw - cam_center[None, :]
+        dist = jnp.linalg.norm(view, axis=-1)
+        lvl_sf = self.sf[frame.level]
+        max_dist = dist * lvl_sf
+        min_dist = max_dist / self.sf[-1]
+        tgt = jnp.where(create, new_slots, m.point_capacity)  # OOB -> dropped
+        m = m._replace(
+            mp_pos=m.mp_pos.at[tgt].set(xw, mode="drop"),
+            mp_valid=m.mp_valid.at[tgt].set(True, mode="drop"),
+            mp_desc=m.mp_desc.at[tgt].set(frame.desc, mode="drop"),
+            mp_normal=m.mp_normal.at[tgt].set(
+                view / jnp.maximum(dist, 1e-6)[:, None], mode="drop"
+            ),
+            mp_min_dist=m.mp_min_dist.at[tgt].set(min_dist, mode="drop"),
+            mp_max_dist=m.mp_max_dist.at[tgt].set(max_dist, mode="drop"),
+        )
+        all_mp = jnp.where(create, new_slots, feat_mp)
+        m = m._replace(kf_mp=m.kf_mp.at[slot].set(all_mp))
+        return m, all_mp
+
+    # ------------------------------------------------------------------
+    # host orchestration
+    # ------------------------------------------------------------------
+
+    def track_rgbd(self, img: np.ndarray, depth: np.ndarray, timestamp: float = 0.0):
+        """Process one RGB-D frame; returns the world->camera pose f32[7].
+
+        Per tracked frame: one fused device program (`_step`) + ONE small
+        host transfer (pose/velocity/stats pack). `feat_mp` and the frame
+        arrays stay device-resident unless a keyframe is created.
+        """
+        if self.state == TrackState.NOT_INITIALIZED:
+            frame = self._prepare(jnp.asarray(img), jnp.asarray(depth))
+            self._initialize(frame, timestamp)
+        else:
+            frame, pose_dev, vel_dev, feat_mp_dev, host_pack = self._step(
+                jnp.asarray(img), jnp.asarray(depth),
+                self.last_frame, self.last_mp_dev, self.map,
+                self.pose_dev, self.velocity_dev,
+            )
+            pack = np.asarray(host_pack)
+            pose = pack[0:7]
+            n_inl, n_mm = int(pack[14]), int(pack[15])
+            tracked_close, untracked_close = int(pack[16]), int(pack[17])
+            if n_inl < self.cfg.min_inliers_track:
+                self.state = TrackState.LOST
+                # keep last pose; relocalization arrives in a later milestone
+                self.trajectory.append(self.pose.copy())
+                self.track_info.append({"inliers": n_inl, "lost": True})
+                self.frame_id += 1
+                return self.pose
+            self.pose = pose
+            self.velocity = pack[7:14]
+            self.pose_dev, self.velocity_dev = pose_dev, vel_dev
+            self.state = TrackState.OK
+            self.frames_since_kf += 1
+            need_kf = self._need_new_keyframe(n_inl, tracked_close, untracked_close)
+            if need_kf:
+                self._create_keyframe(frame, np.asarray(feat_mp_dev), timestamp)
+            else:
+                self.last_mp_dev = feat_mp_dev
+            self.last_frame = frame
+            self.track_info.append(
+                {"inliers": n_inl, "mm": n_mm, "kf": bool(need_kf), "lost": False}
+            )
+
+        self.trajectory.append(self.pose.copy())
+        self.frame_id += 1
+        return self.pose
+
+    def _need_new_keyframe(self, n_inl, tracked_close, untracked_close) -> bool:
+        """NeedNewKeyFrame policy (`/root/reference/src/Tracking.cc:465-550`):
+        ratio vs reference KF, stereo close-point pressure, interval gates."""
+        if self.frames_since_kf < self.cfg.kf_min_interval:
+            return False
+        need_close = (tracked_close < 100) and (untracked_close > 70)
+        ratio_gate = n_inl < self.cfg.kf_ref_ratio * max(self.ref_kf_tracked, 1)
+        interval_gate = self.frames_since_kf >= self.cfg.kf_max_interval
+        return (ratio_gate or interval_gate or need_close) and n_inl > 15
+
+    def _initialize(self, frame: FrameData, timestamp: float):
+        """Stereo/RGB-D bootstrap (`src/Tracking.cc:965-1017`): first frame at
+        origin; every feature with depth becomes a landmark."""
+        valid = np.asarray(frame.valid)
+        depth = np.asarray(frame.depth)
+        create = valid & (depth > 0)
+        if create.sum() < 50:
+            return  # not enough structure yet
+        self.pose = np.asarray(se3.identity())
+        self.pose_dev = jnp.asarray(self.pose)
+        self.velocity_dev = jnp.asarray(self.velocity)
+        self._create_keyframe(frame, np.full(frame.capacity, INVALID, np.int64),
+                              timestamp, create_mask=create)
+        self.last_frame = frame
+        self.state = TrackState.OK
+
+    def _create_keyframe(
+        self, frame: FrameData, feat_mp: np.ndarray, timestamp: float,
+        create_mask: Optional[np.ndarray] = None,
+    ):
+        cfg = self.cfg
+        slot = self.graph.alloc_kf_slot()
+        if create_mask is None:
+            valid = np.asarray(frame.valid)
+            depth = np.asarray(frame.depth)
+            close = (depth > 0) & (
+                depth < (cfg.bf / cfg.fx) * cfg.th_depth
+            )
+            create_mask = valid & close & (feat_mp < 0)
+        n_new = int(create_mask.sum())
+        new_slots = np.full(frame.capacity, INVALID, np.int64)
+        if n_new:
+            new_slots[create_mask] = self.graph.alloc_point_slots(n_new)
+        self.map, all_mp_dev = self._insert_kf(
+            self.map, slot, frame, jnp.asarray(self.pose),
+            jnp.asarray(feat_mp.astype(np.int32)),
+            jnp.asarray(new_slots, jnp.int32),
+        )
+        all_mp = np.asarray(all_mp_dev)
+        # host graph bookkeeping
+        self.graph.kf_alive[slot] = True
+        self.graph.kf_frame_id[slot] = self.frame_id
+        self.graph.kf_timestamp[slot] = timestamp
+        if self.graph.origin_kf < 0:
+            self.graph.origin_kf = slot
+        for f in np.nonzero(all_mp >= 0)[0]:
+            pt = int(all_mp[f])
+            if create_mask[f]:
+                self.graph.pt_alive[pt] = True
+                self.graph.pt_first_kf[pt] = slot
+            self.graph.add_observation(pt, slot, int(f), False)
+        self.graph.update_connections(slot, all_mp)
+        self.ref_kf = slot
+        self.ref_kf_tracked = int((all_mp >= 0).sum())
+        self.frames_since_kf = 0
+        self.last_mp = all_mp
+        self.last_mp_dev = all_mp_dev
+        self.last_kf_frame: FrameData = frame
+        return slot
