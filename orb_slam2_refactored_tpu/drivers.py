@@ -1,0 +1,155 @@
+"""CLI drivers: replay a dataset sequence through the SLAM system.
+
+Capability analog of the reference's six example mains
+(`/root/reference/Examples/Monocular/{mono_tum,mono_kitti,mono_euroc}.cc`,
+`Examples/Stereo/{stereo_kitti,stereo_euroc}.cc`, `Examples/RGB-D/rgbd_tum.cc`):
+load a sequence, replay it (optionally real-time paced like the reference's
+sleep-to-timestamp loop, `mono_tum.cc:92-100`), print the median/mean
+tracking time report (`mono_tum.cc:106-115`), and save trajectories.
+
+Usage:
+  python -m orb_slam2_refactored_tpu.drivers rgbd_tum --settings TUM1.yaml \
+      --sequence /data/rgbd_dataset_freiburg1_desk --out traj.txt
+  python -m orb_slam2_refactored_tpu.drivers stereo_kitti --settings K00.yaml \
+      --sequence /data/kitti/00 --out traj_kitti.txt
+  python -m orb_slam2_refactored_tpu.drivers synthetic_rgbd --frames 120
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+from .io import datasets
+from .slam.system import MONOCULAR, RGBD, STEREO, SlamSystem
+
+
+def _report(times, system: SlamSystem, out: str, kf_out: str, kitti_out: str):
+    times = sorted(times)
+    if times:
+        print(f"median tracking time: {times[len(times) // 2]:.4f}")
+        print(f"mean tracking time: {sum(times) / len(times):.4f}")
+    if out:
+        system.save_trajectory_tum(out)
+        print(f"trajectory saved to {out}")
+    if kf_out:
+        system.save_keyframe_trajectory_tum(kf_out)
+    if kitti_out:
+        system.save_trajectory_kitti(kitti_out)
+
+
+def _run(system: SlamSystem, stream, track_fn, args):
+    times = []
+    n = 0
+    for item in stream:
+        t0 = time.time()
+        track_fn(system, item)
+        dt = time.time() - t0
+        times.append(dt)
+        n += 1
+        if args.max_frames and n >= args.max_frames:
+            break
+        if args.realtime and n > 1:
+            # reference pacing: sleep to match dataset timestamps
+            gap = item[0] - prev_ts  # noqa: F821
+            if dt < gap:
+                time.sleep(gap - dt)
+        prev_ts = item[0]  # noqa: F841
+    _report(times, system, args.out, args.kf_out, args.kitti_out)
+    return system
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("mode", choices=[
+        "mono_tum", "mono_kitti", "mono_euroc",
+        "stereo_kitti", "stereo_euroc", "rgbd_tum", "synthetic_rgbd",
+    ])
+    p.add_argument("--settings", help="reference-format YAML settings file")
+    p.add_argument("--sequence", help="dataset sequence directory")
+    p.add_argument("--timestamps", help="EuRoC timestamp file")
+    p.add_argument("--assoc", help="TUM association file")
+    p.add_argument("--out", default="trajectory_tum.txt")
+    p.add_argument("--kf-out", default="")
+    p.add_argument("--kitti-out", default="")
+    p.add_argument("--max-frames", type=int, default=0)
+    p.add_argument("--frames", type=int, default=120, help="synthetic frames")
+    p.add_argument("--realtime", action="store_true",
+                   help="pace replay to dataset timestamps (reference default)")
+    p.add_argument("--no-loop-closing", action="store_true")
+    args = p.parse_args(argv)
+
+    if args.mode == "synthetic_rgbd":
+        return _run_synthetic(args)
+
+    sensor = {
+        "mono_tum": MONOCULAR, "mono_kitti": MONOCULAR, "mono_euroc": MONOCULAR,
+        "stereo_kitti": STEREO, "stereo_euroc": STEREO, "rgbd_tum": RGBD,
+    }[args.mode]
+    system = SlamSystem.create(
+        args.settings, sensor, enable_loop_closing=not args.no_loop_closing
+    )
+
+    if args.mode == "rgbd_tum":
+        stream = datasets.tum_rgbd_sequence(
+            args.sequence, system.settings.depth_map_factor or 5000.0, args.assoc
+        )
+        _run(system, stream, lambda s, it: s.track_rgbd(it[1], it[2], it[0]), args)
+    elif args.mode == "mono_tum":
+        stream = datasets.tum_mono_sequence(args.sequence)
+        _run(system, stream, lambda s, it: s.track_monocular(it[1], it[0]), args)
+    elif args.mode == "mono_kitti":
+        stream = datasets.kitti_mono_sequence(args.sequence)
+        _run(system, stream, lambda s, it: s.track_monocular(it[1], it[0]), args)
+    elif args.mode == "stereo_kitti":
+        stream = datasets.kitti_stereo_sequence(args.sequence)
+        _run(system, stream, lambda s, it: s.track_stereo(it[1], it[2], it[0]), args)
+    elif args.mode == "stereo_euroc":
+        rect = None
+        if system.settings.rectification is not None:
+            rect = datasets.EurocRectifier(system.settings.rectification)
+        stream = datasets.euroc_stereo_sequence(args.sequence, args.timestamps, rect)
+        _run(system, stream, lambda s, it: s.track_stereo(it[1], it[2], it[0]), args)
+    elif args.mode == "mono_euroc":
+        stream = datasets.euroc_mono_sequence(args.sequence, args.timestamps)
+        _run(system, stream, lambda s, it: s.track_monocular(it[1], it[0]), args)
+    return 0
+
+
+def _run_synthetic(args):
+    from .io.evaluation import ate_rmse
+    from .io.synthetic import SyntheticScene, box_room, orbit_trajectory
+    from .slam.map_state import MapCapacity
+    from .slam.tracking import Tracker, TrackerConfig
+
+    planes = box_room(half_x=1.5, half_y=1.2, z_far=2.5, z_near=-2.5)
+    scene = SyntheticScene(width=640, height=480, fx=520.0, fy=520.0, planes=planes)
+    n = args.frames
+    gt = orbit_trajectory(n, radius=0.35, yaw_amp=0.3)
+    cfg = TrackerConfig(
+        width=640, height=480, fx=520.0, fy=520.0, cx=320.0, cy=240.0,
+        bf=0.08 * 520.0, n_features=1000, n_levels=8,
+        map_capacity=MapCapacity(max_keyframes=128, max_points=16384,
+                                 max_features=1000),
+    )
+    tracker = Tracker(cfg)
+    times = []
+    for i in range(n):
+        img, depth = scene.render(gt[i])
+        t0 = time.time()
+        tracker.track_rgbd(img, depth, timestamp=i / 30.0)
+        times.append(time.time() - t0)
+    est = np.stack(tracker.trajectory)
+    rmse, _ = ate_rmse(est, gt, align="se3")
+    times_s = sorted(times)
+    print(f"median tracking time: {times_s[len(times_s) // 2]:.4f}")
+    print(f"ATE RMSE: {rmse:.4f} m over {n} frames, "
+          f"{len(tracker.graph.alive_kfs())} keyframes")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -117,6 +117,7 @@ def ba_solve(
     use_huber: bool = True,
     chi2_gate: bool = True,
     axis_name: str = None,
+    lambda0: float = 1e-4,
 ) -> BAResult:
     """When `axis_name` is given, the problem's keyframe axis is assumed
     sharded under `shard_map(mesh, axis_name)` with point arrays replicated:
@@ -248,7 +249,7 @@ def ba_solve(
         jnp.sqrt(jnp.where(has_ur, CHI2_STEREO, CHI2_MONO)), use_huber, axis_name,
     )
     (kf_pose, pt_pos, _, final_cost), _ = jax.lax.scan(
-        lm_step, (p.kf_pose, p.pt_pos, jnp.float32(1e-4), cost0), None, length=iters
+        lm_step, (p.kf_pose, p.pt_pos, jnp.float32(lambda0), cost0), None, length=iters
     )
     _, chi2 = _cost_only(kf_pose, pt_pos, p, cam, obs_ok0,
                          jnp.sqrt(chi2_th), use_huber, axis_name)

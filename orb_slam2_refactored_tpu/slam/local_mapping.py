@@ -1,0 +1,316 @@
+"""Local mapping stage: local bundle adjustment, point culling, outlier pruning.
+
+Capability analog of the reference `LocalMapping`
+(`/root/reference/src/LocalMapping.cc:93-130`): per-keyframe map refinement.
+TPU-first redesign:
+
+- `LocalBundleAdjustment` (`src/Optimizer.cc:491-736`) builds a g2o graph
+  from the covisibility window plus a fixed frontier. Here the WHOLE map is
+  the BA problem (the SoA arrays already are the observation tensors —
+  `kf_xy/kf_uright/kf_mp` rows), and "local" is just the free-frame mask:
+  fixed frames participate exactly like g2o's fixed vertices, with zero
+  graph-construction cost. At padded capacity [K,N] the dense formulation is
+  far below one MXU's throughput, so sparse windowing machinery would only
+  add latency.
+- MapPointCulling (`src/LocalMapping.cc:335-369`) keeps its semantics
+  (young points must earn >=3 observations / adequate found-ratio) on the
+  host graph, with a batched device invalidation.
+- Outlier observations flagged by BA's chi2 gate are erased both device-side
+  (kf_mp -> -1) and in the host observation lists (the analog of g2o edge
+  removal + `EraseObservation`, `src/Optimizer.cc:677-716`).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..geometry import projection as proj
+from ..geometry import se3
+from ..optim.ba import BAProblem, ba_solve
+from .frame import scale_factors
+from .map_state import INVALID, MapArrays, MapGraph
+
+
+class LocalMapper:
+    def __init__(self, cam: proj.CameraIntrinsics, n_levels: int,
+                 scale_factor: float, ba_iters: int = 6, cg_iters: int = 30,
+                 window: int = 12, lambda0: float = 1e-4, min_kfs: int = 2,
+                 tri_neighbors: int = 6):
+        self.cam = cam
+        self.window = window
+        self.min_kfs = min_kfs
+        self.tri_neighbors = tri_neighbors
+        sf, sigma2, inv_sigma2 = scale_factors(n_levels, scale_factor)
+        self.sf = sf
+        self.inv_sigma2 = inv_sigma2
+        self._ba = jax.jit(
+            lambda m, free: self._ba_impl(m, free, ba_iters, cg_iters, lambda0)
+        )
+        self._apply = jax.jit(self._apply_impl, donate_argnums=(0,))
+        self._cull = jax.jit(self._cull_impl, donate_argnums=(0,))
+        self._tri = jax.jit(self._triangulate_impl)
+        self._tri_insert = jax.jit(self._tri_insert_impl, donate_argnums=(0,))
+
+    # -- jitted programs -------------------------------------------------
+
+    def _ba_impl(self, m: MapArrays, free_mask, iters, cg_iters, lambda0):
+        prob = BAProblem(
+            kf_pose=m.kf_pose,
+            kf_fixed=~free_mask,
+            obs_uv=m.kf_xy,
+            obs_ur=m.kf_uright,
+            obs_pt=m.kf_mp,
+            obs_inv_s2=self.inv_sigma2[m.kf_level],
+            pt_pos=m.mp_pos,
+            pt_valid=m.mp_valid,
+        )
+        res = ba_solve(prob, self.cam, iters=iters, cg_iters=cg_iters,
+                       lambda0=lambda0)
+        return res.kf_pose, res.pt_pos, res.obs_inlier, res.initial_cost, res.final_cost
+
+    def _apply_impl(self, m: MapArrays, kf_pose, pt_pos, outlier):
+        """Write BA results back + erase outlier observations."""
+        return m._replace(
+            kf_pose=kf_pose,
+            mp_pos=pt_pos,
+            kf_mp=jnp.where(outlier, INVALID, m.kf_mp),
+        )
+
+    def _cull_impl(self, m: MapArrays, kill, pair_kf, pair_feat):
+        """kill: i32[B] point slots; (pair_kf, pair_feat): observation cells
+        to clear. All padded with out-of-range values (mode='drop')."""
+        return m._replace(
+            mp_valid=m.mp_valid.at[kill].set(False, mode="drop"),
+            kf_mp=m.kf_mp.at[pair_kf, pair_feat].set(INVALID, mode="drop"),
+        )
+
+    def _triangulate_impl(self, m: MapArrays, kf_a, kf_b):
+        """Two-view triangulation candidates between keyframes a and b.
+
+        CreateNewMapPoints semantics (`/root/reference/src/LocalMapping.cc:380-578`):
+        epipolar-gated descriptor matching of landmark-free features
+        (`SearchByTriangulation` + `CheckDistEpipolarLine`,
+        `src/ORBmatcher.cc:768,384`), SVD/DLT triangulation (`:473-491`),
+        cheirality + reprojection + parallax + scale-consistency gates.
+        Returns per-feature-of-a: (xw[N,3], idx_b[N], good[N]).
+        """
+        from ..ops import hamming
+
+        pose_a = m.kf_pose[kf_a]
+        pose_b = m.kf_pose[kf_b]
+        xy_a, xy_b = m.kf_xy[kf_a], m.kf_xy[kf_b]
+        lvl_a, lvl_b = m.kf_level[kf_a], m.kf_level[kf_b]
+        free_a = m.kf_feat_valid[kf_a] & (m.kf_mp[kf_a] < 0)
+        free_b = m.kf_feat_valid[kf_b] & (m.kf_mp[kf_b] < 0)
+
+        # fundamental matrix F_ab from relative pose (ComputeF12, :55)
+        T_ab = se3.compose(pose_a, se3.inverse(pose_b))
+        R = se3.quat_to_matrix(se3.rotation(T_ab))
+        t = se3.translation(T_ab)
+        tx = jnp.array([
+            [0.0, -t[2], t[1]], [t[2], 0.0, -t[0]], [-t[1], t[0], 0.0]
+        ])
+        Km = jnp.array([[self.cam.fx, 0, self.cam.cx],
+                        [0, self.cam.fy, self.cam.cy], [0, 0, 1.0]])
+        Kinv = jnp.linalg.inv(Km)
+        F = Kinv.T @ tx @ R @ Kinv  # maps b-pixels to epipolar lines in a? (below)
+
+        ones_a = jnp.ones_like(xy_a[:, :1])
+        ones_b = jnp.ones_like(xy_b[:, :1])
+        pa = jnp.concatenate([xy_a, ones_a], -1)
+        pb = jnp.concatenate([xy_b, ones_b], -1)
+        # line in b for each a-feature: l_b = F^T p_a; distance of p_b to it
+        lb = pa @ F  # [N,3]
+        d = (pb @ lb.T) ** 2 / jnp.maximum(
+            (lb[:, 0] ** 2 + lb[:, 1] ** 2)[None, :], 1e-12
+        )  # [Nb, Na] distance^2 of each b to each a's line
+        epi_ok = d.T < 3.84 * (self.sf[lvl_b] ** 2)[None, :]  # [Na,Nb]
+
+        dmat = hamming.hamming_matrix(m.kf_desc[kf_a], m.kf_desc[kf_b])
+        mask = free_a[:, None] & free_b[None, :] & epi_ok
+        idx_b, best, _ = hamming.masked_best2(dmat, mask)
+        matched = free_a & (best <= hamming.TH_LOW)
+        keep = hamming.resolve_duplicates(idx_b, best, matched, xy_b.shape[0])
+
+        # DLT triangulation in world frame
+        Pa = Km @ se3.to_matrix(pose_a)[:3]
+        Pb = Km @ se3.to_matrix(pose_b)[:3]
+        xb = xy_b[jnp.clip(idx_b, 0, xy_b.shape[0] - 1)]
+
+        def tri_one(ua, ub):
+            A = jnp.stack([
+                ua[0] * Pa[2] - Pa[0],
+                ua[1] * Pa[2] - Pa[1],
+                ub[0] * Pb[2] - Pb[0],
+                ub[1] * Pb[2] - Pb[1],
+            ])
+            _, _, vt = jnp.linalg.svd(A)
+            X = vt[-1]
+            return X[:3] / jnp.where(jnp.abs(X[3]) < 1e-12, 1e-12, X[3])
+
+        xw = jax.vmap(tri_one)(xy_a, xb)
+
+        # gates
+        xca = se3.transform(pose_a, xw)
+        xcb = se3.transform(pose_b, xw)
+        za, zb = xca[:, 2], xcb[:, 2]
+        ra = proj.project(self.cam, xca) - xy_a
+        rb = proj.project(self.cam, xcb) - xb
+        s2a = self.sf[lvl_a] ** 2
+        s2b = self.sf[jnp.clip(lvl_b[jnp.clip(idx_b, 0, lvl_b.shape[0] - 1)], 0, None)] ** 2
+        reproj_ok = (jnp.sum(ra * ra, -1) < 5.991 * s2a) & (
+            jnp.sum(rb * rb, -1) < 5.991 * s2b
+        )
+        # parallax between rays
+        ca = se3.translation(se3.inverse(pose_a))
+        cb = se3.translation(se3.inverse(pose_b))
+        va = xw - ca[None]
+        vb = xw - cb[None]
+        na = jnp.linalg.norm(va, axis=-1)
+        nb = jnp.linalg.norm(vb, axis=-1)
+        cosp = jnp.sum(va * vb, -1) / jnp.maximum(na * nb, 1e-12)
+        # scale consistency (:553-571): distance ratio within scale ratio*1.5
+        ratio_dist = na / jnp.maximum(nb, 1e-9)
+        ratio_octave = self.sf[lvl_a] / self.sf[
+            jnp.clip(lvl_b[jnp.clip(idx_b, 0, lvl_b.shape[0] - 1)], 0, None)
+        ]
+        scale_ok = (ratio_dist < ratio_octave * 1.5) & (
+            ratio_dist * 1.5 > ratio_octave
+        )
+        finite = jnp.all(jnp.isfinite(xw), -1)
+        good = (
+            keep & finite & (za > 0) & (zb > 0) & (cosp < 0.9998)
+            & reproj_ok & scale_ok
+        )
+        return xw, idx_b, good
+
+    def _tri_insert_impl(self, m: MapArrays, kf_a, kf_b, slots, idx_b, xw):
+        """Scatter triangulated points (slot<0 = skip) + both observations."""
+        create = slots >= 0
+        tgt = jnp.where(create, slots, m.point_capacity)
+        desc = m.kf_desc[kf_a]
+        lvl = m.kf_level[kf_a]
+        ca = se3.translation(se3.inverse(m.kf_pose[kf_a]))
+        view = xw - ca[None]
+        dist = jnp.linalg.norm(view, axis=-1)
+        max_dist = dist * self.sf[lvl]
+        min_dist = max_dist / self.sf[-1]
+        m = m._replace(
+            mp_pos=m.mp_pos.at[tgt].set(xw, mode="drop"),
+            mp_valid=m.mp_valid.at[tgt].set(True, mode="drop"),
+            mp_desc=m.mp_desc.at[tgt].set(desc, mode="drop"),
+            mp_normal=m.mp_normal.at[tgt].set(
+                view / jnp.maximum(dist, 1e-6)[:, None], mode="drop"
+            ),
+            mp_min_dist=m.mp_min_dist.at[tgt].set(min_dist, mode="drop"),
+            mp_max_dist=m.mp_max_dist.at[tgt].set(max_dist, mode="drop"),
+        )
+        n = slots.shape[0]
+        rows_a = jnp.arange(n)
+        kf_mp = m.kf_mp.at[kf_a, rows_a].max(jnp.where(create, slots, INVALID))
+        safe_b = jnp.where(create, idx_b, 0)
+        kf_mp = kf_mp.at[kf_b, safe_b].max(jnp.where(create, slots, INVALID))
+        return m._replace(kf_mp=kf_mp)
+
+    # -- host orchestration ----------------------------------------------
+
+    def local_ba(self, m: MapArrays, graph: MapGraph, new_kf: int):
+        """Free set = new KF + covisible window (origin stays fixed as gauge
+        unless deep in the window). Returns the updated MapArrays."""
+        if len(graph.alive_kfs()) < self.min_kfs:
+            return m, None
+        free = np.zeros(graph.cap.max_keyframes, bool)
+        free[new_kf] = True
+        for j in graph.covis_neighbors(new_kf, top_k=self.window):
+            free[j] = True
+        # gauge: keep at least one alive KF fixed
+        alive = graph.kf_alive.copy()
+        if (alive & ~free).sum() == 0:
+            free[graph.origin_kf] = False
+        if free.sum() == 0 or (alive & free).sum() == 0:
+            return m, None
+        kf_pose, pt_pos, inlier, c0, c1 = self._ba(m, jnp.asarray(free))
+        # outliers = observations of FREE frames that fail the chi2 gate
+        # (the reference erases only window edges, src/Optimizer.cc:677-716)
+        old_kf_mp = np.asarray(m.kf_mp)
+        outlier = (old_kf_mp >= 0) & ~np.asarray(inlier) & free[:, None]
+        m = self._apply(m, kf_pose, pt_pos, jnp.asarray(outlier))
+        self.erase_outlier_obs(graph, old_kf_mp, outlier)
+        return m, {"cost0": float(c0), "cost1": float(c1),
+                   "n_outliers": int(outlier.sum()), "free": int(free.sum())}
+
+    def erase_outlier_obs(self, graph: MapGraph, old_kf_mp: np.ndarray,
+                          outlier: np.ndarray):
+        """Remove erased observations from the host graph."""
+        kfs, feats = np.nonzero(outlier)
+        for k, f in zip(kfs, feats):
+            pt = int(old_kf_mp[k, f])
+            if pt >= 0:
+                graph.erase_observation(pt, int(k))
+
+    def triangulate_new_points(self, m: MapArrays, graph: MapGraph, new_kf: int):
+        """Create landmarks by triangulating the new KF against its best
+        covisible neighbors (CreateNewMapPoints host loop, one device
+        program per neighbor pair)."""
+        neighbors = graph.covis_neighbors(new_kf, top_k=self.tri_neighbors)
+        n_created = 0
+        for nb in neighbors:
+            xw, idx_b, good = self._tri(m, jnp.int32(new_kf), jnp.int32(nb))
+            good_np = np.asarray(good)
+            feats = np.nonzero(good_np)[0]
+            if len(feats) == 0:
+                continue
+            new_slots = graph.alloc_point_slots(len(feats))
+            slots = np.full(good_np.shape[0], -1, np.int32)
+            slots[feats] = new_slots
+            m = self._tri_insert(
+                m, jnp.int32(new_kf), jnp.int32(nb), jnp.asarray(slots), idx_b, xw
+            )
+            idx_b_np = np.asarray(idx_b)
+            for f, s in zip(feats, new_slots):
+                s = int(s)
+                graph.pt_alive[s] = True
+                graph.pt_first_kf[s] = new_kf
+                graph.add_observation(s, new_kf, int(f), False)
+                graph.add_observation(s, int(nb), int(idx_b_np[f]), False)
+            n_created += len(feats)
+        if n_created:
+            graph.update_connections(new_kf, np.asarray(m.kf_mp[new_kf]))
+        return m, n_created
+
+    def cull_points(self, m: MapArrays, graph: MapGraph, new_kf: int,
+                    min_obs: int = 3, age: int = 2):
+        """Young points (first seen within `age` KFs) with too few
+        observations die (MapPointCulling semantics)."""
+        kill: List[int] = []
+        for pt in list(graph.obs.keys()):
+            if not graph.pt_alive[pt]:
+                continue
+            first = graph.pt_first_kf[pt]
+            if first < 0:
+                continue
+            # only "recent" points are on trial (age just past the grace
+            # period); established points are never re-culled here
+            pt_age = new_kf - first
+            if age < pt_age <= age + 2 and graph.n_obs(pt) < min_obs:
+                kill.append(pt)
+        if not kill:
+            return m, 0
+        pairs = []
+        for pt in kill:
+            pairs.extend(graph.kill_point(pt))
+        arr = np.full(((len(kill) + 127) // 128) * 128, m.point_capacity, np.int32)
+        arr[: len(kill)] = kill
+        def pad128(v, fill):
+            out = np.full(((len(v) + 127) // 128) * 128, fill, np.int32)
+            out[: len(v)] = v
+            return out
+        pk = pad128([p[0] for p in pairs], m.kf_capacity)
+        pf = pad128([p[1] for p in pairs], 0)
+        m = self._cull(m, jnp.asarray(arr), jnp.asarray(pk), jnp.asarray(pf))
+        return m, len(kill)

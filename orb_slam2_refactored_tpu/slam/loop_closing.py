@@ -1,0 +1,296 @@
+"""Loop closing: detection, Sim3 estimation, correction, pose graph, global BA.
+
+Capability analog of the reference `LoopClosing`
+(`/root/reference/src/LoopClosing.cc`):
+- detection via BoW scores + covisibility-consistency over consecutive
+  keyframes (`LoopDetector::Detect` :157-296, minConsistency=3 :60)
+- Sim3 between current KF and loop KF from matched landmark pairs
+  (`FindLoopInCandidateKFs` :62-155 — Sim3Solver RANSAC + guided matching)
+- correction: propagate the corrected similarity to the covisible group,
+  remap their landmarks, fuse duplicates, optimize the essential graph,
+  then run full-map BA (`LoopCorrector::Correct` :521-692, `GlobalBA` :349-499)
+
+TPU-first: detection scoring is a dense matvec over the keyframe BoW matrix
+(slam/vocabulary.py); the Sim3 solve is a vmapped Horn RANSAC over 3D-3D
+landmark pairs; the essential graph is the matrix-free Sim3 LM+CG
+(optim/pose_graph.py); global BA is `ba_solve` over the whole SoA map (the
+reference's transient GBA thread becomes a bounded synchronous call here —
+async scheduling is an orchestration concern above this module).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Set
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..geometry import projection as proj
+from ..geometry import se3, sim3
+from ..ops import matching
+from ..optim.ba import BAProblem, ba_solve
+from ..optim.pose_graph import (
+    PoseGraphProblem, edge_measurement, pose_graph_solve,
+)
+from ..solvers.ransac import horn_ransac
+from .frame import scale_factors
+from .map_state import INVALID, MapArrays, MapGraph
+from .vocabulary import KeyFrameDatabase, Vocabulary
+
+
+class LoopCloser:
+    MIN_CONSISTENCY = 3   # src/LoopClosing.cc:60
+    MIN_SIM3_INLIERS = 20  # :137 (>=20 accepts the Sim3)
+
+    def __init__(
+        self,
+        voc: Vocabulary,
+        cam: proj.CameraIntrinsics,
+        kf_capacity: int,
+        n_levels: int = 8,
+        scale_factor: float = 1.2,
+        fix_scale: bool = True,   # stereo/RGB-D: Sim3 scale fixed to 1
+        gba_iters: int = 10,
+        gba_cg_iters: int = 40,
+    ):
+        self.db = KeyFrameDatabase(voc, kf_capacity)
+        self.cam = cam
+        self.fix_scale = fix_scale
+        self.gba_iters = gba_iters
+        self.gba_cg_iters = gba_cg_iters
+        _, _, self.inv_sigma2 = scale_factors(n_levels, scale_factor)
+        # consistency groups: list of (set_of_kfs, count)
+        self.consistent_groups: List = []
+        self.last_loop_kf = -1
+        self.loops_closed = 0
+        self._match_kfs = jax.jit(self._match_kfs_impl)
+        self._gba = jax.jit(self._gba_impl)
+
+    # ------------------------------------------------------------------
+
+    def add_keyframe_bow(self, m: MapArrays, kf: int):
+        """Compute + store the BoW vector of a keyframe (ComputeBoW analog)."""
+        v, _ = self.db.compute_bow(m.kf_desc[kf], m.kf_feat_valid[kf])
+        self.db.add(kf, v)
+        return v
+
+    def detect(self, m: MapArrays, graph: MapGraph, kf: int, bow_vec) -> Optional[int]:
+        """Returns a loop KF id when a consistent candidate exists.
+
+        Mirrors LoopDetector::Detect: gate on >=10 KFs since the last loop,
+        min-score from covisible neighbors, candidate consistency across
+        MIN_CONSISTENCY consecutive detections (:164-241).
+        """
+        if kf - self.last_loop_kf < 10 or len(graph.alive_kfs()) < 10:
+            self.db  # still indexed; just no detection this early
+            return None
+        neighbors = graph.covis_neighbors(kf, top_k=30)
+        min_score = 1.0
+        scores = self.db.scores_against_all(bow_vec)
+        for nb in neighbors:
+            if scores[nb] >= 0:
+                min_score = min(min_score, float(scores[nb]))
+        min_score = max(min_score * 0.8, 0.02)
+        exclude = set(neighbors) | {kf}
+        cands = self.db.detect_candidates(bow_vec, exclude, min_score)
+        if not cands:
+            self.consistent_groups = []
+            return None
+        # covisibility-consistency bookkeeping (:194-241)
+        new_groups = []
+        loop_kf = None
+        for c in cands:
+            group = set(graph.covis_neighbors(c, top_k=30)) | {c}
+            count = 0
+            for prev_group, prev_count in self.consistent_groups:
+                if group & prev_group:
+                    count = max(count, prev_count + 1)
+            new_groups.append((group, count))
+            if count >= self.MIN_CONSISTENCY and loop_kf is None:
+                loop_kf = c
+        self.consistent_groups = new_groups
+        return loop_kf
+
+    # ------------------------------------------------------------------
+
+    def _match_kfs_impl(self, m: MapArrays, kf_a, kf_b):
+        """Descriptor-match two keyframes' features that carry landmarks;
+        return the 3D-3D landmark pairs (SearchByBoW KF<->KF analog,
+        src/ORBmatcher.cc:696)."""
+        desc_a = m.kf_desc[kf_a]
+        desc_b = m.kf_desc[kf_b]
+        mp_a = m.kf_mp[kf_a]
+        mp_b = m.kf_mp[kf_b]
+        ok_a = (mp_a >= 0) & m.mp_valid[jnp.clip(mp_a, 0, m.point_capacity - 1)]
+        ok_b = (mp_b >= 0) & m.mp_valid[jnp.clip(mp_b, 0, m.point_capacity - 1)]
+        mm = matching.match_descriptors(
+            desc_a, desc_b, ok_a, ok_b, max_dist=50, nn_ratio=0.9
+        )
+        idx_b = jnp.clip(mm.idx, 0, desc_b.shape[0] - 1)
+        pt_a = jnp.clip(mp_a, 0, m.point_capacity - 1)
+        pt_b = jnp.clip(mp_b[idx_b], 0, m.point_capacity - 1)
+        # positions in each keyframe's CAMERA frame (Sim3Solver works camera-frame,
+        # src/Sim3Solver.cc:206-233)
+        xa = se3.transform(m.kf_pose[kf_a], m.mp_pos[pt_a])
+        xb = se3.transform(m.kf_pose[kf_b], m.mp_pos[pt_b])
+        return xa, xb, pt_a, pt_b, mm.valid
+
+    def compute_sim3(self, m: MapArrays, kf: int, loop_kf: int, key):
+        """Estimate S_{kf<-loop} from matched landmarks (camera frames)."""
+        xa, xb, pt_a, pt_b, valid = self._match_kfs(
+            m, jnp.int32(kf), jnp.int32(loop_kf)
+        )
+        n = int(np.asarray(valid).sum())
+        if n < self.MIN_SIM3_INLIERS:
+            return None
+        res = horn_ransac(
+            xb, xa, valid, key, with_scale=not self.fix_scale,
+            inlier_th=0.09, min_inliers=self.MIN_SIM3_INLIERS,
+        )
+        if not bool(res.success):
+            return None
+        # S: maps loop-KF camera coords -> current-KF camera coords
+        S = sim3.from_se3(res.pose, res.scale)
+        return S, np.asarray(res.inliers), np.asarray(pt_a), np.asarray(pt_b)
+
+    # ------------------------------------------------------------------
+
+    def correct(self, m: MapArrays, graph: MapGraph, kf: int, loop_kf: int,
+                S_cl, inliers, pt_a, pt_b):
+        """Loop correction + essential-graph optimization + global BA.
+
+        S_cl: Sim3 mapping loop-KF CAMERA frame to current-KF CAMERA frame.
+        Corrected current pose: Scw_corrected = S_cl * S_loop_cw  (:498-style).
+        """
+        kf_poses = np.asarray(m.kf_pose)
+        alive = graph.alive_kfs()
+
+        # corrected Sim3 world->camera for current KF
+        S_loop_cw = sim3.from_se3(jnp.asarray(kf_poses[loop_kf]))
+        S_corr_cw = sim3.compose(S_cl, S_loop_cw)
+
+        # ---- essential-graph problem over all alive KFs -----------------
+        K = m.kf_capacity
+        poses_s = np.asarray(sim3.from_se3(jnp.asarray(kf_poses)))
+        fixed = np.ones(K, bool)
+        fixed[alive] = False
+        fixed[loop_kf] = True  # gauge: loop KF holds (reference fixes it, :773)
+
+        ei, ej, rel, w = [], [], [], []
+        # spanning-tree + strong covisibility edges from CURRENT estimates
+        seen = set()
+        for a in alive:
+            pa = int(graph.parent[a])
+            if pa >= 0 and graph.kf_alive[pa]:
+                ei.append(a); ej.append(pa); w.append(1.0)
+                rel.append(None)
+            for b, weight in graph.covis_weight.get(int(a), {}).items():
+                if weight >= 100 and graph.kf_alive[b] and (b, a) not in seen:
+                    seen.add((a, b))
+                    ei.append(int(a)); ej.append(int(b)); w.append(1.0)
+                    rel.append(None)
+            for b in graph.loop_edges.get(int(a), set()):
+                if (b, a) not in seen:
+                    seen.add((a, b))
+                    ei.append(int(a)); ej.append(int(b)); w.append(1.0)
+                    rel.append(None)
+        # measurements from current (pre-correction) estimates
+        ei_a = jnp.asarray(ei, jnp.int32)
+        ej_a = jnp.asarray(ej, jnp.int32)
+        poses_dev = jnp.asarray(poses_s)
+        rels = jax.vmap(edge_measurement)(poses_dev[ei_a], poses_dev[ej_a])
+
+        # the NEW loop edge: measured relative Sim3 from the computed S_cl
+        S_kf_cw_corr = S_corr_cw
+        loop_rel = edge_measurement(S_kf_cw_corr, sim3.from_se3(jnp.asarray(kf_poses[loop_kf])))
+        ei_a = jnp.concatenate([ei_a, jnp.asarray([kf], jnp.int32)])
+        ej_a = jnp.concatenate([ej_a, jnp.asarray([loop_kf], jnp.int32)])
+        rels = jnp.concatenate([rels, loop_rel[None]])
+        w_a = jnp.concatenate([jnp.asarray(w, jnp.float32),
+                               jnp.asarray([5.0], jnp.float32)])
+
+        # seed the current KF (and, through optimization, its neighborhood)
+        # at the corrected pose
+        poses0 = poses_dev.at[kf].set(S_kf_cw_corr)
+
+        prob = PoseGraphProblem(
+            poses=poses0, fixed=jnp.asarray(fixed),
+            edge_i=ei_a, edge_j=ej_a, edge_rel=rels, edge_w=w_a,
+        )
+        new_poses_s, c0, c1 = pose_graph_solve(prob, iters=20, cg_iters=50)
+
+        # ---- apply: poses + landmark correction via reference KF ---------
+        # each landmark moves with its first-observing keyframe:
+        # x' = S_new^-1 * S_old * x   (OptimizeEssentialGraph point correction,
+        # src/Optimizer.cc:925-941)
+        ref_kf = np.zeros(m.point_capacity, np.int64)
+        for pt, obs in graph.obs.items():
+            if graph.pt_alive[pt] and obs:
+                ref_kf[pt] = min(obs.keys())
+        ref_kf_dev = jnp.asarray(ref_kf, jnp.int32)
+        S_old = poses_dev[ref_kf_dev]
+        S_new = new_poses_s[ref_kf_dev]
+        corr = jax.vmap(sim3.compose)(jax.vmap(sim3.inverse)(S_new), S_old)
+        new_pts = jax.vmap(sim3.transform)(corr, m.mp_pos)
+        new_pts = jnp.where(m.mp_valid[:, None], new_pts, m.mp_pos)
+
+        new_kf_pose = jax.vmap(sim3.to_se3)(new_poses_s)
+        m = m._replace(kf_pose=new_kf_pose, mp_pos=new_pts)
+
+        # ---- fuse matched loop landmark pairs (Replace analog, :615-658) --
+        # landmark seen in both: keep the loop-KF one (older, better observed)
+        inl = inliers
+        for a, b, ok in zip(pt_a, pt_b, inl):
+            if not ok:
+                continue
+            a, b = int(a), int(b)
+            if a == b or not graph.pt_alive[a] or not graph.pt_alive[b]:
+                continue
+            # merge a's observations into b
+            for okf, feat in list(graph.obs.get(a, {}).items()):
+                if okf not in graph.obs.get(b, {}):
+                    graph.obs.setdefault(b, {})[okf] = feat
+            graph.pt_alive[a] = False
+            graph.obs.pop(a, None)
+        # device-side: remap kf_mp entries from a->b and invalidate a
+        remap_src = np.asarray([int(a) for a, ok in zip(pt_a, inl) if ok], np.int32)
+        remap_dst = np.asarray([int(b) for b, ok in zip(pt_b, inl) if ok], np.int32)
+        if len(remap_src):
+            lut = jnp.arange(m.point_capacity, dtype=jnp.int32)
+            lut = lut.at[remap_src].set(remap_dst)
+            kf_mp = m.kf_mp
+            kf_mp = jnp.where(kf_mp >= 0, lut[jnp.clip(kf_mp, 0, m.point_capacity - 1)], kf_mp)
+            mp_valid = m.mp_valid.at[remap_src].set(False)
+            mp_valid = mp_valid.at[remap_dst].set(True)
+            m = m._replace(kf_mp=kf_mp, mp_valid=mp_valid)
+
+        # loop edges recorded both ways (:684-685)
+        graph.loop_edges.setdefault(kf, set()).add(loop_kf)
+        graph.loop_edges.setdefault(loop_kf, set()).add(kf)
+        self.last_loop_kf = kf
+        self.loops_closed += 1
+
+        # ---- global BA (GlobalBA analog; synchronous bounded run) --------
+        free = np.zeros(K, bool)
+        free[alive] = True
+        free[graph.origin_kf] = False
+        kf_pose2, pt_pos2, inlier, g0, g1 = self._gba(m, jnp.asarray(free))
+        m = m._replace(kf_pose=kf_pose2, mp_pos=pt_pos2)
+        return m, {"pg_cost": (float(c0), float(c1)),
+                   "gba_cost": (float(g0), float(g1))}
+
+    def _gba_impl(self, m: MapArrays, free_mask):
+        prob = BAProblem(
+            kf_pose=m.kf_pose,
+            kf_fixed=~free_mask,
+            obs_uv=m.kf_xy,
+            obs_ur=m.kf_uright,
+            obs_pt=m.kf_mp,
+            obs_inv_s2=self.inv_sigma2[m.kf_level],
+            pt_pos=m.mp_pos,
+            pt_valid=m.mp_valid,
+        )
+        res = ba_solve(prob, self.cam, iters=self.gba_iters,
+                       cg_iters=self.gba_cg_iters, lambda0=1e-3)
+        return res.kf_pose, res.pt_pos, res.obs_inlier, res.initial_cost, res.final_cost

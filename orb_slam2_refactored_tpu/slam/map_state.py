@@ -139,8 +139,11 @@ class MapGraph:
     # -- slot allocation --------------------------------------------------
 
     def alloc_kf_slot(self) -> int:
-        if self.free_kf_slots:
-            return self.free_kf_slots.pop()
+        """Slots are NEVER recycled within a session: stale indices held in
+        device arrays (kf_mp rows, last-frame assignments) must keep pointing
+        at dead entries — masked out via alive flags — rather than silently
+        aliasing a new allocation. (The reference's shared_ptr graph gets
+        this for free; an SoA index space must choose monotonic allocation.)"""
         if self.num_kfs >= self.cap.max_keyframes:
             raise RuntimeError(
                 f"keyframe capacity {self.cap.max_keyframes} exhausted"
@@ -150,14 +153,10 @@ class MapGraph:
         return slot
 
     def alloc_point_slots(self, n: int) -> np.ndarray:
-        slots = []
-        while self.free_pt_slots and len(slots) < n:
-            slots.append(self.free_pt_slots.pop())
-        remaining = n - len(slots)
-        if self.next_point + remaining > self.cap.max_points:
+        if self.next_point + n > self.cap.max_points:
             raise RuntimeError(f"map-point capacity {self.cap.max_points} exhausted")
-        slots.extend(range(self.next_point, self.next_point + remaining))
-        self.next_point += remaining
+        slots = list(range(self.next_point, self.next_point + n))
+        self.next_point += n
         return np.asarray(slots, np.int64)
 
     # -- covisibility -----------------------------------------------------
@@ -223,9 +222,11 @@ class MapGraph:
     # -- lifecycle --------------------------------------------------------
 
     def kill_point(self, pt: int):
+        """Returns the (kf, feat) observation pairs so callers can clear the
+        device-side kf_mp references (no slot recycling — see alloc_kf_slot)."""
         self.pt_alive[pt] = False
-        self.obs.pop(pt, None)
-        self.free_pt_slots.append(int(pt))
+        pairs = list(self.obs.pop(pt, {}).items())
+        return pairs
 
     def kill_keyframe(self, kf: int):
         """SetBadFlag analog with spanning-tree child re-parenting
@@ -254,7 +255,6 @@ class MapGraph:
         if parent >= 0:
             self.children.get(parent, set()).discard(kf)
         self.kf_alive[kf] = False
-        self.free_kf_slots.append(int(kf))
 
     def alive_kfs(self) -> np.ndarray:
         return np.nonzero(self.kf_alive)[0]

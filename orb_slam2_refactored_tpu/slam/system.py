@@ -1,0 +1,198 @@
+"""System façade: the user-facing entry point of the SLAM engine.
+
+Capability analog of the reference `System`
+(`/root/reference/include/System.h:45-113`, `src/System.cc:310-951`):
+`System.create(settings_yaml, sensor)` builds the full engine from the SAME
+YAML schema the reference reads; `track_monocular/track_stereo/track_rgbd`
+process frames; trajectory savers write the reference's exact TUM/KITTI
+formats (`SaveTrajectoryTUM` :690, `SaveKeyFrameTrajectoryTUM` :753,
+`SaveTrajectoryKITTI` :790) so downstream evaluation tools work unchanged;
+`activate_localization_mode` freezes the map (ModeManager analog :221-271);
+`reset` clears all state (ResetManager :281-308).
+
+The reference's thread launches (`src/System.cc:398-411`) have no analog:
+tracking, local mapping and loop closing are synchronous staged calls over
+device-resident state (SURVEY.md §2.3 design rows).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..config import Settings
+from ..geometry import se3
+from .map_state import MapCapacity
+from .tracking import TrackState, Tracker, TrackerConfig
+
+MONOCULAR = 0
+STEREO = 1
+RGBD = 2
+
+
+class SlamSystem:
+    def __init__(self, tracker: Tracker, sensor: int, settings: Settings):
+        self.tracker = tracker
+        self.sensor = sensor
+        self.settings = settings
+        self.localization_only = False
+        self.timestamps: List[float] = []
+
+    # ------------------------------------------------------------------
+
+    @staticmethod
+    def create(
+        settings_path: str,
+        sensor: int,
+        map_capacity: Optional[MapCapacity] = None,
+        enable_loop_closing: bool = True,
+        vocabulary=None,
+    ) -> "SlamSystem":
+        """Build from a reference-format YAML settings file
+        (`src/System.cc:333-375` key schema — see config.Settings)."""
+        st = Settings.from_yaml(settings_path)
+        cam = st.camera
+        width = cam.width
+        height = cam.height
+        if not width or not height:
+            raise ValueError(
+                "Camera.width/Camera.height must be set in the settings YAML "
+                "(static image geometry is required to compile the pipeline)"
+            )
+        cfg = TrackerConfig(
+            width=width, height=height,
+            fx=cam.fx, fy=cam.fy, cx=cam.cx, cy=cam.cy,
+            bf=cam.bf if sensor != MONOCULAR else 0.0,
+            th_depth=st.th_depth,
+            n_features=st.orb.n_features,
+            n_levels=st.orb.n_levels,
+            scale_factor=st.orb.scale_factor,
+            ini_th_fast=st.orb.ini_th_fast,
+            min_th_fast=st.orb.min_th_fast,
+            kf_max_interval=int(cam.fps),
+            kf_ref_ratio=0.9 if sensor == MONOCULAR else 0.75,
+            enable_loop_closing=enable_loop_closing,
+            map_capacity=map_capacity,
+        )
+        tracker = Tracker(cfg)
+        if vocabulary is not None:
+            tracker.set_vocabulary(vocabulary)
+        return SlamSystem(tracker, sensor, st)
+
+    # ------------------------------------------------------------------
+    # per-frame entry points (System::Track*, src/System.cc:430-622)
+    # ------------------------------------------------------------------
+
+    def track_monocular(self, img, timestamp: float):
+        assert self.sensor == MONOCULAR
+        self.timestamps.append(timestamp)
+        return self._track(lambda: self.tracker.track_mono(img, timestamp))
+
+    def track_stereo(self, img_left, img_right, timestamp: float):
+        assert self.sensor == STEREO
+        self.timestamps.append(timestamp)
+        return self._track(
+            lambda: self.tracker.track_stereo(img_left, img_right, timestamp)
+        )
+
+    def track_rgbd(self, img, depth, timestamp: float):
+        assert self.sensor == RGBD
+        if self.settings.depth_map_factor not in (0.0, 1.0):
+            depth = np.asarray(depth, np.float32) / self.settings.depth_map_factor
+        self.timestamps.append(timestamp)
+        return self._track(lambda: self.tracker.track_rgbd(img, depth, timestamp))
+
+    def _track(self, fn):
+        if self.localization_only:
+            # freeze map growth: suppress keyframe creation (ModeManager's
+            # localization mode stops LocalMapping, src/System.cc:228-250)
+            saved = self.tracker._need_new_keyframe
+            self.tracker._need_new_keyframe = lambda *a, **k: False
+            try:
+                return fn()
+            finally:
+                self.tracker._need_new_keyframe = saved
+        return fn()
+
+    # ------------------------------------------------------------------
+
+    def activate_localization_mode(self):
+        self.localization_only = True
+
+    def deactivate_localization_mode(self):
+        self.localization_only = False
+
+    def get_tracking_state(self) -> int:
+        return self.tracker.state
+
+    def map_changed_counter(self) -> int:
+        return self.tracker.graph.big_change_counter
+
+    def reset(self):
+        """Full system reset (src/System.cc:624-660): new map, new graph,
+        tracking back to uninitialized — compiled programs are retained."""
+        cfg = self.tracker.cfg
+        voc = self.tracker.vocabulary
+        old = self.tracker
+        new = Tracker(cfg)
+        # reuse compiled programs (identical shapes) to avoid recompiling
+        for attr in ("_prepare", "_prepare_stereo", "_prepare_mono", "_track",
+                     "_step", "_step_stereo", "_insert_kf", "_reloc_match",
+                     "_mono_match"):
+            setattr(new, attr, getattr(old, attr))
+        if voc is not None:
+            new.set_vocabulary(voc)
+        self.tracker = new
+        self.timestamps = []
+
+    def shutdown(self):
+        """No threads to join (reference joins 3 + GBA, src/System.cc:665-684);
+        provided for API parity."""
+
+    # ------------------------------------------------------------------
+    # trajectory export — byte-format parity with the reference
+    # ------------------------------------------------------------------
+
+    def _frame_poses_wc(self):
+        traj = np.stack(self.tracker.trajectory) if self.tracker.trajectory else np.zeros((0, 7), np.float32)
+        return np.asarray(se3.inverse(jnp.asarray(traj))) if len(traj) else traj
+
+    def save_trajectory_tum(self, path: str):
+        """TUM format: `t tx ty tz qx qy qz qw` per frame
+        (`SaveTrajectoryTUM`, src/System.cc:690-747)."""
+        poses_wc = self._frame_poses_wc()
+        with open(path, "w") as f:
+            for ts, p in zip(self.timestamps, poses_wc):
+                qw, qx, qy, qz, tx, ty, tz = p
+                f.write(
+                    f"{ts:.6f} {tx:.7f} {ty:.7f} {tz:.7f} "
+                    f"{qx:.7f} {qy:.7f} {qz:.7f} {qw:.7f}\n"
+                )
+
+    def save_keyframe_trajectory_tum(self, path: str):
+        """KF-only TUM trajectory (`SaveKeyFrameTrajectoryTUM`, :753-784)."""
+        g = self.tracker.graph
+        kfs = g.alive_kfs()
+        kf_pose = np.asarray(self.tracker.map.kf_pose)
+        with open(path, "w") as f:
+            for k in kfs:
+                p = np.asarray(se3.inverse(jnp.asarray(kf_pose[k])))
+                qw, qx, qy, qz, tx, ty, tz = p
+                ts = g.kf_timestamp[k]
+                f.write(
+                    f"{ts:.6f} {tx:.7f} {ty:.7f} {tz:.7f} "
+                    f"{qx:.7f} {qy:.7f} {qz:.7f} {qw:.7f}\n"
+                )
+
+    def save_trajectory_kitti(self, path: str):
+        """KITTI format: 3x4 row-major pose matrix per line
+        (`SaveTrajectoryKITTI`, src/System.cc:790-843)."""
+        poses_wc = self._frame_poses_wc()
+        mats = np.asarray(se3.to_matrix(jnp.asarray(poses_wc))) if len(poses_wc) else np.zeros((0, 4, 4))
+        with open(path, "w") as f:
+            for m in mats:
+                row = m[:3].reshape(-1)
+                f.write(" ".join(f"{v:.9e}" for v in row) + "\n")

@@ -59,6 +59,12 @@ class TrackerConfig:
     kf_ref_ratio: float = 0.75      # NeedNewKeyFrame ratio gate (:522 thRefRatio)
     kf_min_interval: int = 0
     kf_max_interval: int = 30
+    enable_local_ba: bool = True
+    local_ba_iters: int = 5
+    local_ba_cg_iters: int = 25
+    enable_loop_closing: bool = False
+    vocab_words: int = 512
+    mono_init_min_matches: int = 100  # src/Tracking.cc:1044 (<100 resets init)
 
     def __post_init__(self):
         if self.map_capacity is None:
@@ -89,6 +95,22 @@ class Tracker:
         self.map = empty_map(cfg.map_capacity)
         self.graph = MapGraph(cfg.map_capacity)
         self.state = TrackState.NOT_INITIALIZED
+        if cfg.enable_local_ba:
+            from .local_mapping import LocalMapper
+
+            self.local_mapper = LocalMapper(
+                self.cam, cfg.n_levels, cfg.scale_factor,
+                ba_iters=cfg.local_ba_iters, cg_iters=cfg.local_ba_cg_iters,
+            )
+        else:
+            self.local_mapper = None
+        self.last_ba_info = None
+        # loop closer is created lazily at the first keyframe (the vocabulary
+        # trains on live descriptors; a pre-trained one can be injected via
+        # set_vocabulary before the first frame)
+        self.loop_closer = None
+        self.vocabulary = None
+        self.last_loop_info = None
 
         self.pose = np.asarray(se3.identity())
         self.velocity = np.asarray(se3.identity())
@@ -105,9 +127,16 @@ class Tracker:
         self.track_info: List[dict] = []
 
         self._prepare = jax.jit(self._prepare_impl)
+        self._prepare_stereo = jax.jit(self._prepare_stereo_impl)
         self._track = jax.jit(self._track_impl)
         self._step = jax.jit(self._step_impl)
+        self._step_stereo = jax.jit(self._step_stereo_impl)
         self._insert_kf = jax.jit(self._insert_kf_impl, donate_argnums=(0,))
+        self._reloc_match = jax.jit(self._reloc_match_impl)
+        self._prepare_mono = jax.jit(self._prepare_mono_impl)
+        self._mono_match = jax.jit(self._mono_match_impl)
+        self._mono_init = None  # built lazily (imports initializer)
+        self._mono_ref: Optional[FrameData] = None
 
     # ------------------------------------------------------------------
     # jitted programs
@@ -133,6 +162,68 @@ class Tracker:
             depth=jnp.where(has_d, d, -1.0),
             valid=feats.valid,
         )
+
+    def _prepare_stereo_impl(self, img_l, img_r) -> FrameData:
+        """Batched L/R extraction (the reference forks two threads,
+        `/root/reference/src/System.cc:449-452`; here the camera IS the batch
+        axis) + row-banded stereo association (`src/ORBmatcher.cc:72-247`)."""
+        from ..ops.stereo import stereo_match
+
+        both = jax.vmap(self.extractor._extract_impl)(jnp.stack([img_l, img_r]))
+        lf = jax.tree_util.tree_map(lambda x: x[0], both)
+        rf = jax.tree_util.tree_map(lambda x: x[1], both)
+        u_right, depth, _ = stereo_match(
+            lf.xy, lf.level, lf.desc, lf.valid,
+            rf.xy, rf.level, rf.desc, rf.valid,
+            self.sf, self.cfg.bf, min_z=self.cfg.bf / self.cfg.fx,
+        )
+        return FrameData(
+            xy=lf.xy, xy_raw=lf.xy, level=lf.level, angle=lf.angle,
+            response=lf.response, desc=lf.desc,
+            u_right=u_right, depth=depth, valid=lf.valid,
+        )
+
+    def _step_stereo_impl(
+        self, img_l, img_r, last: FrameData, last_mp, m: MapArrays,
+        pose_last, velocity,
+    ):
+        frame = self._prepare_stereo_impl(img_l, img_r)
+        pose, feat_mp, n_inl, n_mm, t_close, u_close = self._track_impl(
+            frame, last, last_mp, m, pose_last, velocity
+        )
+        vel_new = se3.compose(pose, se3.inverse(pose_last))
+        host_pack = jnp.concatenate(
+            [pose, vel_new,
+             jnp.stack([n_inl, n_mm, t_close, u_close]).astype(jnp.float32)]
+        )
+        return frame, pose, vel_new, feat_mp, host_pack
+
+    def _prepare_mono_impl(self, img) -> FrameData:
+        feats: OrbFeatures = self.extractor._extract_impl(img)
+        n = feats.xy.shape[0]
+        return FrameData(
+            xy=feats.xy, xy_raw=feats.xy, level=feats.level, angle=feats.angle,
+            response=feats.response, desc=feats.desc,
+            u_right=-jnp.ones((n,), jnp.float32),
+            depth=-jnp.ones((n,), jnp.float32),
+            valid=feats.valid,
+        )
+
+    def _mono_match_impl(self, curr: FrameData, ref: FrameData):
+        """SearchForInitialization analog (`src/ORBmatcher.cc:614`): windowed
+        descriptor matching (100 px) with rotation consistency."""
+        d2 = jnp.sum((ref.xy[:, None, :] - curr.xy[None, :, :]) ** 2, -1)
+        win = d2 <= 100.0 ** 2
+        mm = matching.match_descriptors(
+            ref.desc, curr.desc, ref.valid, curr.valid,
+            max_dist=50, nn_ratio=0.9, extra_mask=win,
+        )
+        keep = matching.rotation_consistency(
+            ref.angle,
+            jnp.where(mm.idx >= 0, curr.angle[jnp.clip(mm.idx, 0, curr.capacity - 1)], 0.0),
+            mm.valid,
+        )
+        return mm.idx, keep
 
     def _track_impl(
         self,
@@ -296,15 +387,190 @@ class Tracker:
         host transfer (pose/velocity/stats pack). `feat_mp` and the frame
         arrays stay device-resident unless a keyframe is created.
         """
-        if self.state == TrackState.NOT_INITIALIZED:
-            frame = self._prepare(jnp.asarray(img), jnp.asarray(depth))
-            self._initialize(frame, timestamp)
-        else:
-            frame, pose_dev, vel_dev, feat_mp_dev, host_pack = self._step(
+        return self._run_frame(
+            lambda: self._prepare(jnp.asarray(img), jnp.asarray(depth)),
+            lambda: self._step(
                 jnp.asarray(img), jnp.asarray(depth),
                 self.last_frame, self.last_mp_dev, self.map,
                 self.pose_dev, self.velocity_dev,
+            ),
+            timestamp,
+        )
+
+    def track_stereo(self, img_l: np.ndarray, img_r: np.ndarray,
+                     timestamp: float = 0.0):
+        """Process one rectified stereo pair (TrackStereo analog,
+        `/root/reference/src/System.cc:430-485`)."""
+        return self._run_frame(
+            lambda: self._prepare_stereo(jnp.asarray(img_l), jnp.asarray(img_r)),
+            lambda: self._step_stereo(
+                jnp.asarray(img_l), jnp.asarray(img_r),
+                self.last_frame, self.last_mp_dev, self.map,
+                self.pose_dev, self.velocity_dev,
+            ),
+            timestamp,
+        )
+
+    def track_mono(self, img: np.ndarray, timestamp: float = 0.0):
+        """Process one monocular frame (TrackMonocular analog,
+        `/root/reference/src/System.cc:545-622`). Initialization follows
+        `MonocularInitialization` + `CreateInitialMapMonocular`
+        (`src/Tracking.cc:1020-1185`): windowed matching against a reference
+        frame, parallel H/F RANSAC, triangulated bootstrap map normalized to
+        unit median depth."""
+        img_j = jnp.asarray(img)
+
+        def prep():
+            return self._prepare_mono(img_j)
+
+        def step():
+            # mono tracking reuses the RGB-D step program minus depth: we pass
+            # a zero depth image (u_right/depth stay -1 in the mono prep, and
+            # the step re-derives the frame itself), so build a tiny wrapper
+            frame = self._prepare_mono(img_j)
+            return self._mono_step(frame)
+
+        if self.state == TrackState.NOT_INITIALIZED:
+            self._initialize_mono(prep(), timestamp)
+            self.trajectory.append(self.pose.copy())
+            self.frame_id += 1
+            return self.pose
+        return self._run_frame(prep, step, timestamp)
+
+    def _mono_step(self, frame: FrameData):
+        """Track an already-prepared mono frame via the shared program."""
+        if not hasattr(self, "_mono_track"):
+            def impl(fr, last, last_mp, m, pose_last, velocity):
+                pose, feat_mp, n_inl, n_mm, t_close, u_close = self._track_impl(
+                    fr, last, last_mp, m, pose_last, velocity
+                )
+                vel_new = se3.compose(pose, se3.inverse(pose_last))
+                host_pack = jnp.concatenate(
+                    [pose, vel_new,
+                     jnp.stack([n_inl, n_mm, t_close, u_close]).astype(jnp.float32)]
+                )
+                return fr, pose, vel_new, feat_mp, host_pack
+
+            self._mono_track = jax.jit(impl)
+        return self._mono_track(
+            frame, self.last_frame, self.last_mp_dev, self.map,
+            self.pose_dev, self.velocity_dev,
+        )
+
+    def _initialize_mono(self, frame: FrameData, timestamp: float):
+        if int(np.asarray(frame.valid).sum()) < self.cfg.mono_init_min_matches:
+            self._mono_ref = None
+            return
+        if self._mono_ref is None:
+            self._mono_ref = frame
+            self._mono_ref_ts = timestamp
+            return
+        idx, keep = self._mono_match(frame, self._mono_ref)
+        n_matches = int(np.asarray(keep).sum())
+        if n_matches < self.cfg.mono_init_min_matches:
+            self._mono_ref = frame  # reference too old; restart (:1044)
+            self._mono_ref_ts = timestamp
+            return
+        import jax as _jax
+
+        from ..solvers.initializer import initialize
+
+        if self._mono_init is None:
+            self._mono_init = jax.jit(
+                lambda x1, x2, v, k: initialize(x1, x2, v, self.cam, k)
             )
+        ref = self._mono_ref
+        midx = jnp.clip(idx, 0, frame.capacity - 1)
+        x1 = ref.xy
+        x2 = frame.xy[midx]
+        res = self._mono_init(
+            x1, x2, keep, _jax.random.PRNGKey(self.frame_id)
+        )
+        if not bool(res.success):
+            return
+        good = np.asarray(res.is_good)
+        n_good = int(good.sum())
+        if n_good < 50:
+            return
+        # normalize to unit median scene depth (:1138-1163)
+        X = np.asarray(res.points3d)
+        med_depth = float(np.median(X[good][:, 2]))
+        if med_depth <= 0:
+            return
+        X = X / med_depth
+        pose21 = np.array(res.pose21)
+        pose21[4:7] /= med_depth
+
+        # bootstrap map: two keyframes + triangulated landmarks
+        slot0 = self.graph.alloc_kf_slot()
+        empty_mp = jnp.full((frame.capacity,), INVALID, jnp.int32)
+        no_new = jnp.full((frame.capacity,), INVALID, jnp.int32)
+        self.map, _ = self._insert_kf(
+            self.map, slot0, ref, jnp.asarray(se3.identity()), empty_mp, no_new
+        )
+        slot1 = self.graph.alloc_kf_slot()
+        self.map, _ = self._insert_kf(
+            self.map, slot1, frame, jnp.asarray(pose21), empty_mp, no_new
+        )
+        # scatter landmarks + both observations via the triangulation insert
+        slots_np = np.full(frame.capacity, -1, np.int32)
+        new_slots = self.graph.alloc_point_slots(n_good)
+        slots_np[np.nonzero(good)[0]] = new_slots
+        lm = self.local_mapper
+        if lm is None:
+            from .local_mapping import LocalMapper
+
+            lm = LocalMapper(self.cam, self.cfg.n_levels, self.cfg.scale_factor)
+            self.local_mapper = lm
+        self.map = lm._tri_insert(
+            self.map, jnp.int32(slot0), jnp.int32(slot1),
+            jnp.asarray(slots_np), midx, jnp.asarray(X, jnp.float32),
+        )
+        idx_np = np.asarray(midx)
+        for k, (slot, ts) in enumerate([(slot0, self._mono_ref_ts), (slot1, timestamp)]):
+            self.graph.kf_alive[slot] = True
+            self.graph.kf_frame_id[slot] = self.frame_id - (1 - k)
+            self.graph.kf_timestamp[slot] = ts
+        self.graph.origin_kf = slot0
+        for f, s in zip(np.nonzero(good)[0], new_slots):
+            s = int(s)
+            self.graph.pt_alive[s] = True
+            self.graph.pt_first_kf[s] = slot0
+            self.graph.add_observation(s, slot0, int(f), False)
+            self.graph.add_observation(s, slot1, int(idx_np[f]), False)
+        self.graph.update_connections(slot1, np.asarray(self.map.kf_mp[slot1]))
+
+        # refine the bootstrap with a 2-KF bundle adjustment
+        # (GlobalBundleAdjustemnt(20) at :1128)
+        free = np.zeros(self.cfg.map_capacity.max_keyframes, bool)
+        free[slot1] = True
+        self.map, _ = lm.local_ba(self.map, self.graph, slot1)
+
+        self.pose = np.asarray(self.map.kf_pose[slot1])
+        self.pose_dev = jnp.asarray(self.pose)
+        self.velocity = np.asarray(se3.identity())
+        self.velocity_dev = jnp.asarray(self.velocity)
+        self.last_frame = frame
+        self.last_mp_dev = self.map.kf_mp[slot1]
+        self.last_mp = np.asarray(self.last_mp_dev)
+        self.ref_kf = slot1
+        self.ref_kf_tracked = n_good
+        self.frames_since_kf = 0
+        self._mono_ref = None
+        self.state = TrackState.OK
+
+    def _run_frame(self, prep_fn, step_fn, timestamp: float):
+        if self.state == TrackState.NOT_INITIALIZED:
+            frame = prep_fn()
+            self._initialize(frame, timestamp)
+        elif self.state == TrackState.LOST:
+            frame = prep_fn()
+            if self._relocalize(frame):
+                self.track_info.append({"reloc": True, "lost": False})
+            else:
+                self.track_info.append({"reloc": False, "lost": True})
+        else:
+            frame, pose_dev, vel_dev, feat_mp_dev, host_pack = step_fn()
             pack = np.asarray(host_pack)
             pose = pack[0:7]
             n_inl, n_mm = int(pack[14]), int(pack[15])
@@ -334,6 +600,105 @@ class Tracker:
         self.trajectory.append(self.pose.copy())
         self.frame_id += 1
         return self.pose
+
+    def _reloc_match_impl(self, frame: FrameData, m: MapArrays, kf):
+        """Frame<->keyframe descriptor matching yielding 2D-3D pairs
+        (SearchByBoW KF<->Frame analog, `src/ORBmatcher.cc:452`)."""
+        mp = m.kf_mp[kf]
+        pt = jnp.clip(mp, 0, m.point_capacity - 1)
+        ok_b = (mp >= 0) & m.kf_feat_valid[kf] & m.mp_valid[pt]
+        mm = matching.match_descriptors(
+            frame.desc, m.kf_desc[kf], frame.valid, ok_b,
+            max_dist=50, nn_ratio=0.75,
+        )
+        midx = jnp.clip(mm.idx, 0, mp.shape[0] - 1)
+        feat_pt = jnp.where(mm.valid, mp[midx], INVALID)
+        pts3d = m.mp_pos[jnp.clip(feat_pt, 0, m.point_capacity - 1)]
+        return pts3d, feat_pt, mm.valid
+
+    def _relocalize(self, frame: FrameData) -> bool:
+        """BoW candidate retrieval + PnP RANSAC + pose refinement
+        (`Relocalizer::Relocalize`, /root/reference/src/Tracking.cc:284-463).
+        Needs the loop closer's BoW database; without one, stays lost."""
+        if self.loop_closer is None:
+            return False
+        import jax as _jax
+
+        from ..solvers.ransac import p6p_ransac
+
+        v, _ = self.loop_closer.db.compute_bow(frame.desc, frame.valid)
+        cands = self.loop_closer.db.detect_candidates(
+            v, exclude=set(), min_score=0.015, max_candidates=3
+        )
+        for kf in cands:
+            pts3d, feat_pt, valid = self._reloc_match(frame, self.map, jnp.int32(kf))
+            if int(np.asarray(valid).sum()) < 15:
+                continue
+            res = p6p_ransac(
+                pts3d, frame.xy, valid, self.cam,
+                _jax.random.PRNGKey(self.frame_id),
+            )
+            if not bool(res.success):
+                continue
+            r = pose_optimize(
+                res.pose, pts3d, frame.xy, frame.u_right,
+                self.inv_sigma2[frame.level], valid & res.inliers, self.cam,
+            )
+            if int(r.num_inliers) < 20:
+                continue
+            self.pose = np.asarray(r.pose)
+            self.pose_dev = jnp.asarray(self.pose)
+            self.velocity = np.asarray(se3.identity())
+            self.velocity_dev = jnp.asarray(self.velocity)
+            self.last_frame = frame
+            self.last_mp_dev = jnp.where(
+                jnp.asarray(np.asarray(r.inliers)), feat_pt, INVALID
+            )
+            self.state = TrackState.OK
+            return True
+        return False
+
+    def set_vocabulary(self, voc):
+        """Inject a pre-trained vocabulary (the reference loads ORBvoc.txt,
+        `/root/reference/src/System.cc:343`; here training on live descriptors
+        is the default and this is the analog injection point)."""
+        self.vocabulary = voc
+
+    def _loop_closing_stage(self, frame: FrameData, slot: int):
+        import jax as _jax
+
+        from .loop_closing import LoopCloser
+        from .vocabulary import train_vocabulary
+
+        if self.loop_closer is None:
+            if self.vocabulary is None:
+                valid = np.asarray(frame.valid)
+                desc = np.asarray(frame.desc)[valid]
+                if len(desc) < 32:
+                    return
+                self.vocabulary = train_vocabulary(
+                    desc, n_words=min(self.cfg.vocab_words, len(desc)), iters=6
+                )
+            self.loop_closer = LoopCloser(
+                self.vocabulary, self.cam, self.cfg.map_capacity.max_keyframes,
+                self.cfg.n_levels, self.cfg.scale_factor, fix_scale=True,
+            )
+        bow = self.loop_closer.add_keyframe_bow(self.map, slot)
+        loop_kf = self.loop_closer.detect(self.map, self.graph, slot, bow)
+        if loop_kf is None:
+            return
+        out = self.loop_closer.compute_sim3(
+            self.map, slot, loop_kf, _jax.random.PRNGKey(slot)
+        )
+        if out is None:
+            return
+        S, inl, pt_a, pt_b = out
+        self.map, info = self.loop_closer.correct(
+            self.map, self.graph, slot, loop_kf, S, inl, pt_a, pt_b
+        )
+        self.last_loop_info = {"loop_kf": loop_kf, "kf": slot, **info}
+        self.pose = np.asarray(self.map.kf_pose[slot])
+        self.pose_dev = jnp.asarray(self.pose)
 
     def _need_new_keyframe(self, n_inl, tracked_close, untracked_close) -> bool:
         """NeedNewKeyFrame policy (`/root/reference/src/Tracking.cc:465-550`):
@@ -403,4 +768,23 @@ class Tracker:
         self.last_mp = all_mp
         self.last_mp_dev = all_mp_dev
         self.last_kf_frame: FrameData = frame
+
+        # loop closing stage: BoW index + detection + Sim3 + correction
+        if self.cfg.enable_loop_closing:
+            self._loop_closing_stage(frame, slot)
+
+        # local mapping stage (triangulation + culling + local BA)
+        if self.local_mapper is not None and len(self.graph.alive_kfs()) >= 2:
+            self.map, n_tri = self.local_mapper.triangulate_new_points(
+                self.map, self.graph, slot
+            )
+            self.map, _ = self.local_mapper.cull_points(self.map, self.graph, slot)
+            self.map, info = self.local_mapper.local_ba(self.map, self.graph, slot)
+            self.last_ba_info = info
+            if info is not None:
+                # adopt the BA-refined pose of the new keyframe as the
+                # tracker's current pose (the reference's map-update mutex
+                # hand-off, src/Tracking.cc:1196, becomes this re-read)
+                self.pose = np.asarray(self.map.kf_pose[slot])
+                self.pose_dev = jnp.asarray(self.pose)
         return slot

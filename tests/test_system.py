@@ -1,0 +1,95 @@
+"""System façade tests: YAML settings -> full pipeline -> trajectory export."""
+
+import os
+
+import numpy as np
+import pytest
+
+from orb_slam2_refactored_tpu.io.synthetic import (
+    SyntheticScene, box_room, orbit_trajectory,
+)
+from orb_slam2_refactored_tpu.slam.system import RGBD, SlamSystem
+
+SETTINGS = os.path.join(os.path.dirname(__file__), "..", "configs",
+                        "synthetic_rgbd.yaml")
+
+
+@pytest.fixture(scope="module")
+def system_run(tmp_path_factory):
+    planes = box_room(half_x=1.5, half_y=1.2, z_far=2.5, z_near=-2.5)
+    scene = SyntheticScene(width=320, height=240, fx=260.0, fy=260.0,
+                           planes=planes)
+    n = 20
+    gt = orbit_trajectory(n, radius=0.3, yaw_amp=0.25)
+    system = SlamSystem.create(SETTINGS, RGBD, enable_loop_closing=False)
+    for i in range(n):
+        img, depth = scene.render(gt[i])
+        system.track_rgbd(img, depth, timestamp=i / 30.0)
+    return system, gt
+
+
+class TestSystem:
+    def test_settings_schema(self):
+        system = SlamSystem.create(SETTINGS, RGBD, enable_loop_closing=False)
+        assert system.tracker.cfg.fx == 260.0
+        assert system.tracker.cfg.n_features == 600
+        assert system.tracker.cfg.n_levels == 4
+        assert float(system.settings.camera.bf) == 20.8
+
+    def test_tracking_state(self, system_run):
+        system, gt = system_run
+        assert system.get_tracking_state() == 1
+
+    def test_save_trajectory_tum(self, system_run, tmp_path):
+        system, gt = system_run
+        out = tmp_path / "traj.txt"
+        system.save_trajectory_tum(str(out))
+        lines = out.read_text().strip().splitlines()
+        assert len(lines) == len(system.tracker.trajectory)
+        first = lines[0].split()
+        assert len(first) == 8  # t tx ty tz qx qy qz qw
+        # first pose ~ identity (origin)
+        vals = [float(v) for v in first[1:]]
+        assert abs(vals[0]) < 1e-5 and abs(vals[6] - 1.0) < 1e-5
+
+    def test_save_trajectory_kitti(self, system_run, tmp_path):
+        system, gt = system_run
+        out = tmp_path / "traj_kitti.txt"
+        system.save_trajectory_kitti(str(out))
+        lines = out.read_text().strip().splitlines()
+        assert len(lines) == len(system.tracker.trajectory)
+        assert len(lines[0].split()) == 12  # 3x4 row-major
+
+    def test_save_keyframe_trajectory(self, system_run, tmp_path):
+        system, gt = system_run
+        out = tmp_path / "kf.txt"
+        system.save_keyframe_trajectory_tum(str(out))
+        lines = out.read_text().strip().splitlines()
+        assert len(lines) == len(system.tracker.graph.alive_kfs())
+
+    def test_localization_mode(self, system_run):
+        system, gt = system_run
+        scene = SyntheticScene(
+            width=320, height=240, fx=260.0, fy=260.0,
+            planes=box_room(half_x=1.5, half_y=1.2, z_far=2.5, z_near=-2.5),
+        )
+        n_kf_before = len(system.tracker.graph.alive_kfs())
+        system.activate_localization_mode()
+        img, depth = scene.render(orbit_trajectory(20, radius=0.3, yaw_amp=0.25)[5])
+        for _ in range(3):
+            system.track_rgbd(img, depth, timestamp=99.0)
+        assert len(system.tracker.graph.alive_kfs()) == n_kf_before
+        system.deactivate_localization_mode()
+
+    def test_viz_plot(self, system_run, tmp_path):
+        from orb_slam2_refactored_tpu.viz.plot import plot_map
+
+        system, gt = system_run
+        out = plot_map(system.tracker, str(tmp_path / "map.png"), gt=gt)
+        assert os.path.exists(out) and os.path.getsize(out) > 10000
+
+    def test_reset(self, system_run):
+        system, gt = system_run
+        system.reset()
+        assert system.get_tracking_state() == 0
+        assert len(system.tracker.trajectory) == 0

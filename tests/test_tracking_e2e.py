@@ -14,9 +14,19 @@ from orb_slam2_refactored_tpu.slam.map_state import MapCapacity
 from orb_slam2_refactored_tpu.slam.tracking import Tracker, TrackerConfig
 
 
+from orb_slam2_refactored_tpu.io.synthetic import box_room
+
+
 @pytest.fixture(scope="module")
 def scene():
     return SyntheticScene(width=320, height=240, fx=260.0, fy=260.0)
+
+
+@pytest.fixture(scope="module")
+def close_scene():
+    """TUM-fr1-like conditioning: depths ~0.8-2.5 m."""
+    planes = box_room(half_x=1.5, half_y=1.2, z_far=2.5, z_near=-2.5)
+    return SyntheticScene(width=320, height=240, fx=260.0, fy=260.0, planes=planes)
 
 
 class TestSynthetic:
@@ -45,7 +55,7 @@ class TestRgbdOdometry:
         gt = orbit_trajectory(n, radius=0.5, yaw_amp=0.15)
         cfg = TrackerConfig(
             width=320, height=240, fx=260.0, fy=260.0, cx=160.0, cy=120.0,
-            bf=0.08 * 260.0, n_features=600, n_levels=4,
+            bf=0.08 * 260.0, n_features=600, n_levels=4, enable_local_ba=False,
             map_capacity=MapCapacity(max_keyframes=32, max_points=8192,
                                      max_features=600),
         )
@@ -60,3 +70,33 @@ class TestRgbdOdometry:
         print(f"ATE RMSE {rmse:.4f} m, RPE {t_rpe:.4f} m/frame, {r_rpe:.5f} rad")
         assert rmse < 0.03, f"ATE {rmse} too large; info={tracker.track_info[-5:]}"
         assert len(tracker.graph.alive_kfs()) >= 1
+
+    def test_local_ba_improves_noisy_depth(self, close_scene):
+        """With realistic depth noise and close-range geometry, local BA must
+        not degrade the trajectory (regression guard for the slot-aliasing
+        bug where culled point slots were recycled under stale kf_mp refs)."""
+        n = 45
+        gt = orbit_trajectory(n, radius=0.35, yaw_amp=0.3)
+        rng = np.random.default_rng(7)
+        frames = []
+        for i in range(n):
+            img, depth = close_scene.render(gt[i])
+            frames.append(
+                (img, depth * (1 + rng.normal(0, 0.01, depth.shape).astype(np.float32)))
+            )
+        results = {}
+        for ba in (False, True):
+            cfg = TrackerConfig(
+                width=320, height=240, fx=260.0, fy=260.0, cx=160.0, cy=120.0,
+                bf=0.08 * 260.0, n_features=600, n_levels=4, enable_local_ba=ba,
+                local_ba_iters=5, local_ba_cg_iters=25,
+                map_capacity=MapCapacity(max_keyframes=64, max_points=8192,
+                                         max_features=600),
+            )
+            tracker = Tracker(cfg)
+            for img, depth in frames:
+                tracker.track_rgbd(img, depth)
+            est = np.stack(tracker.trajectory)
+            results[ba], _ = ate_rmse(est, gt, align="se3")
+        print(f"ATE no-BA {results[False]:.4f}, BA {results[True]:.4f}")
+        assert results[True] < max(1.3 * results[False], 0.03)
