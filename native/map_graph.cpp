@@ -1,0 +1,274 @@
+// Native map-graph core: observation lists, covisibility graph, spanning tree.
+//
+// Capability analog of the reference's KeyFrame/MapPoint sparse bookkeeping
+// (/root/reference/src/KeyFrame.cc:235-470, src/MapPoint.cc:109-230): the
+// pointer-graph + mutex design becomes a single-threaded arena the host
+// Python layer drives between device programs (the TPU compute path never
+// touches this). C++ because these are irregular, mutation-heavy, per-element
+// operations — the one shape of work Python is slowest at and XLA cannot
+// express; same reasoning that puts the reference's graph in C++.
+//
+// Exposed via a C ABI for ctypes (no pybind11 in this image).
+
+#include <algorithm>
+#include <cstdint>
+#include <cstring>
+#include <unordered_map>
+#include <unordered_set>
+#include <vector>
+
+namespace {
+
+struct MapGraphCore {
+  int32_t max_kf;
+  int32_t max_pts;
+  // per-point observations: kf -> feature index
+  std::vector<std::unordered_map<int32_t, int32_t>> obs;
+  // covisibility weights per keyframe
+  std::vector<std::unordered_map<int32_t, int32_t>> covis;
+  // spanning tree
+  std::vector<int32_t> parent;
+  std::vector<std::unordered_set<int32_t>> children;
+  std::vector<std::unordered_set<int32_t>> loop_edges;
+  std::vector<uint8_t> kf_alive;
+  std::vector<uint8_t> pt_alive;
+  std::vector<int64_t> pt_first_kf;
+  int32_t origin_kf = -1;
+
+  MapGraphCore(int32_t kfs, int32_t pts)
+      : max_kf(kfs), max_pts(pts), obs(pts), covis(kfs), parent(kfs, -1),
+        children(kfs), loop_edges(kfs), kf_alive(kfs, 0), pt_alive(pts, 0),
+        pt_first_kf(pts, -1) {}
+};
+
+void set_covis(MapGraphCore* g, int32_t a, int32_t b, int32_t w) {
+  if (w <= 0) {
+    g->covis[a].erase(b);
+    g->covis[b].erase(a);
+  } else {
+    g->covis[a][b] = w;
+    g->covis[b][a] = w;
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+void* mg_create(int32_t max_kf, int32_t max_pts) {
+  return new MapGraphCore(max_kf, max_pts);
+}
+
+void mg_destroy(void* h) { delete static_cast<MapGraphCore*>(h); }
+
+void mg_set_kf_alive(void* h, int32_t kf, int32_t alive) {
+  static_cast<MapGraphCore*>(h)->kf_alive[kf] = (uint8_t)alive;
+}
+int32_t mg_kf_alive(void* h, int32_t kf) {
+  return static_cast<MapGraphCore*>(h)->kf_alive[kf];
+}
+void mg_set_pt_alive(void* h, int32_t pt, int32_t alive) {
+  static_cast<MapGraphCore*>(h)->pt_alive[pt] = (uint8_t)alive;
+}
+int32_t mg_pt_alive(void* h, int32_t pt) {
+  return static_cast<MapGraphCore*>(h)->pt_alive[pt];
+}
+void mg_fill_pt_alive(void* h, uint8_t* out, int32_t n) {
+  auto* g = static_cast<MapGraphCore*>(h);
+  std::memcpy(out, g->pt_alive.data(), std::min<int32_t>(n, g->max_pts));
+}
+void mg_set_pt_first_kf(void* h, int32_t pt, int64_t kf) {
+  static_cast<MapGraphCore*>(h)->pt_first_kf[pt] = kf;
+}
+int64_t mg_pt_first_kf(void* h, int32_t pt) {
+  return static_cast<MapGraphCore*>(h)->pt_first_kf[pt];
+}
+void mg_set_origin(void* h, int32_t kf) {
+  static_cast<MapGraphCore*>(h)->origin_kf = kf;
+}
+int32_t mg_origin(void* h) { return static_cast<MapGraphCore*>(h)->origin_kf; }
+
+void mg_add_observation(void* h, int32_t pt, int32_t kf, int32_t feat) {
+  static_cast<MapGraphCore*>(h)->obs[pt][kf] = feat;
+}
+void mg_erase_observation(void* h, int32_t pt, int32_t kf) {
+  static_cast<MapGraphCore*>(h)->obs[pt].erase(kf);
+}
+int32_t mg_n_obs(void* h, int32_t pt) {
+  return (int32_t)static_cast<MapGraphCore*>(h)->obs[pt].size();
+}
+// write up to cap (kf, feat) pairs of a point's observations; returns count
+int32_t mg_get_obs(void* h, int32_t pt, int32_t* out_kf, int32_t* out_feat,
+                   int32_t cap) {
+  auto& o = static_cast<MapGraphCore*>(h)->obs[pt];
+  int32_t n = 0;
+  for (auto& kv : o) {
+    if (n >= cap) break;
+    out_kf[n] = kv.first;
+    out_feat[n] = kv.second;
+    n++;
+  }
+  return n;
+}
+int32_t mg_obs_feat_in_kf(void* h, int32_t pt, int32_t kf) {
+  auto& o = static_cast<MapGraphCore*>(h)->obs[pt];
+  auto it = o.find(kf);
+  return it == o.end() ? -1 : it->second;
+}
+
+int32_t mg_covis_weight(void* h, int32_t a, int32_t b) {
+  auto& c = static_cast<MapGraphCore*>(h)->covis[a];
+  auto it = c.find(b);
+  return it == c.end() ? 0 : it->second;
+}
+
+// ordered covisible neighbors (best first), weight >= min_weight, alive only
+int32_t mg_covis_neighbors(void* h, int32_t kf, int32_t min_weight,
+                           int32_t top_k, int32_t* out, int32_t cap) {
+  auto* g = static_cast<MapGraphCore*>(h);
+  std::vector<std::pair<int32_t, int32_t>> items;  // (-w, kf)
+  for (auto& kv : g->covis[kf]) {
+    if (kv.second >= min_weight && g->kf_alive[kv.first]) {
+      items.emplace_back(-kv.second, kv.first);
+    }
+  }
+  std::sort(items.begin(), items.end());
+  int32_t n = (int32_t)items.size();
+  if (top_k > 0 && top_k < n) n = top_k;
+  if (n > cap) n = cap;
+  for (int32_t i = 0; i < n; i++) out[i] = items[i].second;
+  return n;
+}
+
+// rebuild covisibility of `kf` from its point row; wire spanning tree.
+// (KeyFrame::UpdateConnections, src/KeyFrame.cc:235-309; threshold 15)
+void mg_update_connections(void* h, int32_t kf, const int32_t* mp_row,
+                           int32_t n, int32_t wire_tree) {
+  auto* g = static_cast<MapGraphCore*>(h);
+  std::unordered_map<int32_t, int32_t> counter;
+  for (int32_t i = 0; i < n; i++) {
+    int32_t pt = mp_row[i];
+    if (pt < 0 || pt >= g->max_pts || !g->pt_alive[pt]) continue;
+    for (auto& kv : g->obs[pt]) {
+      if (kv.first != kf && g->kf_alive[kv.first]) counter[kv.first]++;
+    }
+  }
+  const int32_t th = 15;
+  int32_t best = -1, best_w = 0;
+  bool any = false;
+  for (auto& kv : counter) {
+    if (kv.second > best_w) {
+      best_w = kv.second;
+      best = kv.first;
+    }
+    if (kv.second >= th) {
+      set_covis(g, kf, kv.first, kv.second);
+      any = true;
+    }
+  }
+  if (!any && best >= 0) set_covis(g, kf, best, best_w);
+  if (wire_tree && g->parent[kf] < 0 && kf != g->origin_kf && best >= 0) {
+    g->parent[kf] = best;
+    g->children[best].insert(kf);
+  }
+}
+
+int32_t mg_parent(void* h, int32_t kf) {
+  return static_cast<MapGraphCore*>(h)->parent[kf];
+}
+void mg_set_parent(void* h, int32_t kf, int32_t p) {
+  auto* g = static_cast<MapGraphCore*>(h);
+  g->parent[kf] = p;
+  if (p >= 0) g->children[p].insert(kf);
+}
+
+void mg_add_loop_edge(void* h, int32_t a, int32_t b) {
+  auto* g = static_cast<MapGraphCore*>(h);
+  g->loop_edges[a].insert(b);
+  g->loop_edges[b].insert(a);
+}
+int32_t mg_loop_edges(void* h, int32_t kf, int32_t* out, int32_t cap) {
+  auto* g = static_cast<MapGraphCore*>(h);
+  int32_t n = 0;
+  for (int32_t b : g->loop_edges[kf]) {
+    if (n >= cap) break;
+    out[n++] = b;
+  }
+  return n;
+}
+
+// kill a point; writes its (kf, feat) observation pairs to out; returns count
+int32_t mg_kill_point(void* h, int32_t pt, int32_t* out_kf, int32_t* out_feat,
+                      int32_t cap) {
+  auto* g = static_cast<MapGraphCore*>(h);
+  g->pt_alive[pt] = 0;
+  int32_t n = 0;
+  for (auto& kv : g->obs[pt]) {
+    if (n < cap) {
+      out_kf[n] = kv.first;
+      out_feat[n] = kv.second;
+      n++;
+    }
+  }
+  g->obs[pt].clear();
+  return n;
+}
+
+// kill a keyframe with spanning-tree child re-parenting
+// (KeyFrame::SetBadFlag, src/KeyFrame.cc:379-470)
+void mg_kill_keyframe(void* h, int32_t kf) {
+  auto* g = static_cast<MapGraphCore*>(h);
+  if (kf == g->origin_kf) return;
+  for (auto& kv : g->covis[kf]) g->covis[kv.first].erase(kf);
+  g->covis[kf].clear();
+  int32_t parent = g->parent[kf];
+  std::unordered_set<int32_t> candidates;
+  if (parent >= 0) candidates.insert(parent);
+  for (int32_t child : g->children[kf]) {
+    int32_t best_w = 0, best_p = parent;
+    for (int32_t cand : candidates) {
+      auto it = g->covis[child].find(cand);
+      if (it != g->covis[child].end() && it->second > best_w) {
+        best_w = it->second;
+        best_p = cand;
+      }
+    }
+    g->parent[child] = best_p;
+    if (best_p >= 0) {
+      g->children[best_p].insert(child);
+      candidates.insert(child);
+    }
+  }
+  g->children[kf].clear();
+  if (parent >= 0) g->children[parent].erase(kf);
+  g->kf_alive[kf] = 0;
+}
+
+// redundancy count for keyframe culling: for each observed point of `kf`
+// (row mp_row/levels of length n), count observations by other alive KFs at
+// level <= lvl+1 using obs_levels lookup row-major [max_kf, n_feat].
+// Returns number of redundant observations (>=3 better observers).
+int32_t mg_redundant_obs(void* h, int32_t kf, const int32_t* mp_row,
+                         const int32_t* levels_all, int32_t n_feat,
+                         int32_t* out_total) {
+  auto* g = static_cast<MapGraphCore*>(h);
+  int32_t redundant = 0, total = 0;
+  for (int32_t f = 0; f < n_feat; f++) {
+    int32_t pt = mp_row[f];
+    if (pt < 0 || !g->pt_alive[pt]) continue;
+    total++;
+    int32_t lvl = levels_all[(int64_t)kf * n_feat + f];
+    int32_t n_better = 0;
+    for (auto& kv : g->obs[pt]) {
+      if (kv.first == kf || !g->kf_alive[kv.first]) continue;
+      if (levels_all[(int64_t)kv.first * n_feat + kv.second] <= lvl + 1) {
+        if (++n_better >= 3) break;
+      }
+    }
+    if (n_better >= 3) redundant++;
+  }
+  *out_total = total;
+  return redundant;
+}
+
+}  // extern "C"

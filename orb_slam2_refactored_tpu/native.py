@@ -1,0 +1,299 @@
+"""ctypes bindings for the native (C++) map-graph core.
+
+Loads `native/libmapgraph.so`, building it with g++ on first use if missing.
+`NativeMapGraph` is a drop-in for `slam.map_state.MapGraph` (same accessor
+interface); selected via `MapCapacity`-driven factory `make_graph(...)` or the
+`TPU_SLAM_NATIVE_GRAPH` env var (default: native when buildable).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Dict, List, Set
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "native")
+_LIB_PATH = os.path.join(_NATIVE_DIR, "libmapgraph.so")
+
+_lib = None
+
+
+def load_library():
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not os.path.exists(_LIB_PATH):
+        try:
+            subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
+                           capture_output=True)
+        except Exception:
+            return None
+    try:
+        lib = ctypes.CDLL(_LIB_PATH)
+    except OSError:
+        return None
+    c_i32, c_i64, c_vp = ctypes.c_int32, ctypes.c_int64, ctypes.c_void_p
+    p_i32 = ctypes.POINTER(ctypes.c_int32)
+    p_u8 = ctypes.POINTER(ctypes.c_uint8)
+    sigs = {
+        "mg_create": ([c_i32, c_i32], c_vp),
+        "mg_destroy": ([c_vp], None),
+        "mg_set_kf_alive": ([c_vp, c_i32, c_i32], None),
+        "mg_kf_alive": ([c_vp, c_i32], c_i32),
+        "mg_set_pt_alive": ([c_vp, c_i32, c_i32], None),
+        "mg_pt_alive": ([c_vp, c_i32], c_i32),
+        "mg_fill_pt_alive": ([c_vp, p_u8, c_i32], None),
+        "mg_set_pt_first_kf": ([c_vp, c_i32, c_i64], None),
+        "mg_pt_first_kf": ([c_vp, c_i32], c_i64),
+        "mg_set_origin": ([c_vp, c_i32], None),
+        "mg_origin": ([c_vp], c_i32),
+        "mg_add_observation": ([c_vp, c_i32, c_i32, c_i32], None),
+        "mg_erase_observation": ([c_vp, c_i32, c_i32], None),
+        "mg_n_obs": ([c_vp, c_i32], c_i32),
+        "mg_get_obs": ([c_vp, c_i32, p_i32, p_i32, c_i32], c_i32),
+        "mg_obs_feat_in_kf": ([c_vp, c_i32, c_i32], c_i32),
+        "mg_covis_weight": ([c_vp, c_i32, c_i32], c_i32),
+        "mg_covis_neighbors": ([c_vp, c_i32, c_i32, c_i32, p_i32, c_i32], c_i32),
+        "mg_update_connections": ([c_vp, c_i32, p_i32, c_i32, c_i32], None),
+        "mg_parent": ([c_vp, c_i32], c_i32),
+        "mg_set_parent": ([c_vp, c_i32, c_i32], None),
+        "mg_add_loop_edge": ([c_vp, c_i32, c_i32], None),
+        "mg_loop_edges": ([c_vp, c_i32, p_i32, c_i32], c_i32),
+        "mg_kill_point": ([c_vp, c_i32, p_i32, p_i32, c_i32], c_i32),
+        "mg_kill_keyframe": ([c_vp, c_i32], None),
+        "mg_redundant_obs": ([c_vp, c_i32, p_i32, p_i32, c_i32, p_i32], c_i32),
+    }
+    for name, (argtypes, restype) in sigs.items():
+        fn = getattr(lib, name)
+        fn.argtypes = argtypes
+        fn.restype = restype
+    _lib = lib
+    return _lib
+
+
+def _as_i32_ptr(arr: np.ndarray):
+    return arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+
+class NativeMapGraph:
+    """Same accessor interface as `map_state.MapGraph`, backed by C++.
+
+    Observation lists, covisibility and the spanning tree live in the native
+    arena; small numpy mirrors (alive flags, timestamps) stay host-side for
+    vectorized reads.
+    """
+
+    def __init__(self, cap):
+        lib = load_library()
+        assert lib is not None, "native map graph library unavailable"
+        self._lib = lib
+        self.cap = cap
+        self._h = lib.mg_create(cap.max_keyframes, cap.max_points)
+        self.num_kfs = 0
+        self.next_point = 0
+        self.kf_alive = np.zeros(cap.max_keyframes, bool)
+        self.kf_frame_id = np.full(cap.max_keyframes, -1, np.int64)
+        self.kf_timestamp = np.zeros(cap.max_keyframes, np.float64)
+        self.pt_visible = np.zeros(cap.max_points, np.int32)
+        self.pt_found = np.zeros(cap.max_points, np.int32)
+        self.pt_first_kf = _FirstKf(self)
+        self.pt_alive = _PtAlive(self)
+        self._scratch_kf = np.zeros(4096, np.int32)
+        self._scratch_feat = np.zeros(4096, np.int32)
+        self.big_change_counter = 0
+        self._obs_points: Set[int] = set()
+        self.loop_edges = _LoopEdges(self)
+        self.parent = _Parent(self)
+
+    def __del__(self):
+        try:
+            self._lib.mg_destroy(self._h)
+        except Exception:
+            pass
+
+    # -- slots ---------------------------------------------------------
+
+    @property
+    def origin_kf(self) -> int:
+        return int(self._lib.mg_origin(self._h))
+
+    @origin_kf.setter
+    def origin_kf(self, kf: int):
+        self._lib.mg_set_origin(self._h, int(kf))
+
+    def alloc_kf_slot(self) -> int:
+        if self.num_kfs >= self.cap.max_keyframes:
+            raise RuntimeError(f"keyframe capacity {self.cap.max_keyframes} exhausted")
+        s = self.num_kfs
+        self.num_kfs += 1
+        return s
+
+    def alloc_point_slots(self, n: int) -> np.ndarray:
+        if self.next_point + n > self.cap.max_points:
+            raise RuntimeError(f"map-point capacity {self.cap.max_points} exhausted")
+        out = np.arange(self.next_point, self.next_point + n, dtype=np.int64)
+        self.next_point += n
+        return out
+
+    # -- alive flags (mirrored) ----------------------------------------
+
+    def set_kf_alive(self, kf: int, alive: bool):
+        self.kf_alive[kf] = alive
+        self._lib.mg_set_kf_alive(self._h, int(kf), int(alive))
+
+    # -- observations ---------------------------------------------------
+
+    def add_observation(self, pt: int, kf: int, feat: int, is_stereo: bool = False):
+        self._lib.mg_add_observation(self._h, int(pt), int(kf), int(feat))
+        self._obs_points.add(int(pt))
+
+    def erase_observation(self, pt: int, kf: int):
+        self._lib.mg_erase_observation(self._h, int(pt), int(kf))
+
+    def n_obs(self, pt: int) -> int:
+        return int(self._lib.mg_n_obs(self._h, int(pt)))
+
+    def obs_pairs(self, pt: int) -> List:
+        n = self._lib.mg_get_obs(
+            self._h, int(pt), _as_i32_ptr(self._scratch_kf),
+            _as_i32_ptr(self._scratch_feat), len(self._scratch_kf),
+        )
+        return list(zip(self._scratch_kf[:n].tolist(), self._scratch_feat[:n].tolist()))
+
+    def obs_feat_in_kf(self, pt: int, kf: int) -> int:
+        return int(self._lib.mg_obs_feat_in_kf(self._h, int(pt), int(kf)))
+
+    def points_with_obs(self):
+        dead = [p for p in self._obs_points if self.n_obs(p) == 0]
+        for p in dead:
+            self._obs_points.discard(p)
+        return list(self._obs_points)
+
+    # -- covisibility ----------------------------------------------------
+
+    def covis_weight(self, a: int, b: int) -> int:
+        return int(self._lib.mg_covis_weight(self._h, int(a), int(b)))
+
+    def covis_neighbors(self, kf: int, min_weight: int = 0, top_k: int = 0):
+        n = self._lib.mg_covis_neighbors(
+            self._h, int(kf), int(min_weight), int(top_k),
+            _as_i32_ptr(self._scratch_kf), len(self._scratch_kf),
+        )
+        return self._scratch_kf[:n].tolist()
+
+    def update_connections(self, kf: int, kf_mp_row: np.ndarray, obs_for_new=True):
+        row = np.ascontiguousarray(kf_mp_row, np.int32)
+        self._lib.mg_update_connections(
+            self._h, int(kf), _as_i32_ptr(row), len(row), int(obs_for_new)
+        )
+
+    # -- lifecycle -------------------------------------------------------
+
+    def kill_point(self, pt: int):
+        n = self._lib.mg_kill_point(
+            self._h, int(pt), _as_i32_ptr(self._scratch_kf),
+            _as_i32_ptr(self._scratch_feat), len(self._scratch_kf),
+        )
+        self._obs_points.discard(int(pt))
+        return list(zip(self._scratch_kf[:n].tolist(), self._scratch_feat[:n].tolist()))
+
+    def kill_keyframe(self, kf: int):
+        self._lib.mg_kill_keyframe(self._h, int(kf))
+        self.kf_alive[kf] = False
+
+    def redundant_obs(self, kf: int, mp_row: np.ndarray, levels_all: np.ndarray):
+        row = np.ascontiguousarray(mp_row, np.int32)
+        lv = np.ascontiguousarray(levels_all, np.int32)
+        total = ctypes.c_int32(0)
+        red = self._lib.mg_redundant_obs(
+            self._h, int(kf), _as_i32_ptr(row), _as_i32_ptr(lv), lv.shape[1],
+            ctypes.byref(total),
+        )
+        return int(red), int(total.value)
+
+    def alive_kfs(self) -> np.ndarray:
+        return np.nonzero(self.kf_alive)[0]
+
+    def alive_points(self) -> np.ndarray:
+        buf = np.zeros(self.cap.max_points, np.uint8)
+        self._lib.mg_fill_pt_alive(
+            self._h, buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(buf)
+        )
+        return np.nonzero(buf)[0]
+
+
+class _PtAlive:
+    """numpy-flavored view over the native pt_alive flags (supports the
+    `graph.pt_alive[pt]`, `graph.pt_alive[pt] = x`, `.sum()` idioms)."""
+
+    def __init__(self, g: NativeMapGraph):
+        self._g = g
+
+    def __getitem__(self, pt):
+        return bool(self._g._lib.mg_pt_alive(self._g._h, int(pt)))
+
+    def __setitem__(self, pt, v):
+        self._g._lib.mg_set_pt_alive(self._g._h, int(pt), int(bool(v)))
+
+    def sum(self):
+        buf = np.zeros(self._g.cap.max_points, np.uint8)
+        self._g._lib.mg_fill_pt_alive(
+            self._g._h, buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(buf)
+        )
+        return int(buf.sum())
+
+
+class _FirstKf:
+    def __init__(self, g: NativeMapGraph):
+        self._g = g
+
+    def __getitem__(self, pt):
+        return int(self._g._lib.mg_pt_first_kf(self._g._h, int(pt)))
+
+    def __setitem__(self, pt, v):
+        self._g._lib.mg_set_pt_first_kf(self._g._h, int(pt), int(v))
+
+
+class _LoopEdges:
+    """dict-of-sets facade over native loop edges (read paths only need
+    membership / iteration for a given kf)."""
+
+    def __init__(self, g: NativeMapGraph):
+        self._g = g
+
+    def get(self, kf, default=None):
+        n = self._g._lib.mg_loop_edges(
+            self._g._h, int(kf), _as_i32_ptr(self._g._scratch_kf),
+            len(self._g._scratch_kf),
+        )
+        s = set(self._g._scratch_kf[:n].tolist())
+        return s if (s or default is None) else default
+
+    def setdefault(self, kf, default):
+        return _LoopEdgeAdder(self._g, kf)
+
+
+class _LoopEdgeAdder:
+    def __init__(self, g, kf):
+        self._g, self._kf = g, kf
+
+    def add(self, other):
+        self._g._lib.mg_add_loop_edge(self._g._h, int(self._kf), int(other))
+
+
+class _Parent:
+    def __init__(self, g: NativeMapGraph):
+        self._g = g
+
+    def __getitem__(self, kf):
+        return int(self._g._lib.mg_parent(self._g._h, int(kf)))
+
+    def __setitem__(self, kf, p):
+        self._g._lib.mg_set_parent(self._g._h, int(kf), int(p))
+
+
+def native_available() -> bool:
+    return load_library() is not None

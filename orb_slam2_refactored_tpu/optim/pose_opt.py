@@ -105,8 +105,9 @@ def pose_optimize(
             # J = dr/d(delta) with r = obs - pred, so the GN step is -H^-1 g
             delta = -jnp.linalg.solve(Hd, g)
             new_pose = se3.retract(pose, delta)
-            # accept if cost decreased (simple LM lambda schedule)
-            r_new, _ = jac_and_res(new_pose)
+            # accept if cost decreased (simple LM lambda schedule);
+            # residual-only evaluation (no Jacobians) for the trial point
+            r_new, _ = _residuals(new_pose, pts_w, obs_uvr, has_ur, cam)
             cost_old = jnp.sum(jnp.where(valid & inliers, chi2_of(r) * w_huber, 0.0))
             chi2n = chi2_of(r_new)
             sn = jnp.sqrt(jnp.maximum(chi2n, 1e-12))

@@ -54,6 +54,16 @@ class LocalMapper:
         self._apply = jax.jit(self._apply_impl, donate_argnums=(0,))
         self._cull = jax.jit(self._cull_impl, donate_argnums=(0,))
         self._tri = jax.jit(self._triangulate_impl)
+        self._tri_batch = jax.jit(
+            lambda m, kf, nbs: jax.vmap(
+                lambda nb: self._triangulate_impl(m, kf, nb)
+            )(nbs)
+        )
+        self._fuse_batch = jax.jit(
+            lambda m, srcs, dsts: jax.vmap(
+                lambda a, b: self._fuse_pair_impl(m, a, b)
+            )(srcs, dsts)
+        )
         self._tri_insert = jax.jit(self._tri_insert_impl, donate_argnums=(0,))
 
     # -- jitted programs -------------------------------------------------
@@ -217,7 +227,170 @@ class LocalMapper:
         kf_mp = kf_mp.at[kf_b, safe_b].max(jnp.where(create, slots, INVALID))
         return m._replace(kf_mp=kf_mp)
 
+    def _fuse_pair_impl(self, m: MapArrays, kf_src, kf_dst):
+        """Project kf_src's landmarks into kf_dst and find feature matches
+        (ORBmatcher::Fuse semantics, `src/ORBmatcher.cc:868-980`): radius
+        search at predicted scale + Hamming gate. Returns per-src-feature:
+        (dst_feature_idx, dst_has_point, ok)."""
+        from ..ops import hamming
+
+        mp = m.kf_mp[kf_src]
+        pt = jnp.clip(mp, 0, m.point_capacity - 1)
+        src_ok = (mp >= 0) & m.mp_valid[pt]
+        xw = m.mp_pos[pt]
+        pose = m.kf_pose[kf_dst]
+        xc = se3.transform(pose, xw)
+        uv = proj.project(self.cam, xc)
+        in_front = xc[:, 2] > 0.05
+
+        dst_xy = m.kf_xy[kf_dst]
+        dst_lvl = m.kf_level[kf_dst]
+        dst_valid = m.kf_feat_valid[kf_dst]
+        d2 = jnp.sum((uv[:, None, :] - dst_xy[None, :, :]) ** 2, -1)
+        src_lvl = m.kf_level[kf_src]
+        r = 3.0 * self.sf[src_lvl]
+        win = d2 <= (r[:, None] ** 2)
+        lvl_ok = jnp.abs(dst_lvl[None, :] - src_lvl[:, None]) <= 1
+        mask = src_ok[:, None] & dst_valid[None, :] & win & lvl_ok & in_front[:, None]
+        dmat = hamming.hamming_matrix(m.mp_desc[pt], m.kf_desc[kf_dst])
+        idx, best, _ = hamming.masked_best2(dmat, mask)
+        ok = src_ok & (best <= hamming.TH_LOW)
+        keep = hamming.resolve_duplicates(idx, best, ok, dst_xy.shape[0])
+        safe_idx = jnp.clip(idx, 0, dst_xy.shape[0] - 1)
+        dst_pt = m.kf_mp[kf_dst][safe_idx]
+        return jnp.where(keep, idx, INVALID), dst_pt, keep, mp
+
+    def _kill_kf_impl(self, m: MapArrays, kf):
+        return m._replace(
+            kf_valid=m.kf_valid.at[kf].set(False),
+            kf_feat_valid=m.kf_feat_valid.at[kf].set(False),
+            kf_mp=m.kf_mp.at[kf].set(INVALID),
+        )
+
+    def _set_obs_impl(self, m: MapArrays, kf, feats, pts):
+        """Record new observations kf_mp[kf, feats] = pts (drop-padded)."""
+        return m._replace(kf_mp=m.kf_mp.at[kf, feats].max(pts, mode="drop"))
+
+    def _remap_points_impl(self, m: MapArrays, src, dst):
+        """Replace() analog: every kf_mp reference to src becomes dst."""
+        lut = jnp.arange(m.point_capacity, dtype=jnp.int32)
+        lut = lut.at[src].set(dst, mode="drop")
+        kf_mp = jnp.where(
+            m.kf_mp >= 0, lut[jnp.clip(m.kf_mp, 0, m.point_capacity - 1)], m.kf_mp
+        )
+        mp_valid = m.mp_valid.at[src].set(False, mode="drop")
+        return m._replace(kf_mp=kf_mp, mp_valid=mp_valid)
+
     # -- host orchestration ----------------------------------------------
+
+    def fuse_neighbors(self, m: MapArrays, graph: MapGraph, new_kf: int,
+                       n_neighbors: int = 5):
+        """SearchInNeighbors analog (`src/LocalMapping.cc:580-639`): fuse the
+        new KF's landmarks into its covisible ring and vice versa."""
+        if not hasattr(self, "_kill_kf"):
+            self._kill_kf = jax.jit(self._kill_kf_impl, donate_argnums=(0,))
+            self._set_obs = jax.jit(self._set_obs_impl, donate_argnums=(0,))
+            self._remap_points = jax.jit(self._remap_points_impl, donate_argnums=(0,))
+        neighbors = graph.covis_neighbors(new_kf, top_k=n_neighbors)
+        if not neighbors:
+            return m, {"merged": 0, "added": 0}
+        pairs = [(new_kf, nb) for nb in neighbors] + [
+            (nb, new_kf) for nb in neighbors
+        ]
+        B = 2 * n_neighbors
+        srcs = np.full(B, new_kf, np.int32)
+        dsts = np.full(B, new_kf, np.int32)  # self-pair -> no fusable features
+        for i, (a, b) in enumerate(pairs[:B]):
+            srcs[i], dsts[i] = a, b
+        idx_all, dst_pt_all, keep_all, src_mp_all = self._fuse_batch(
+            m, jnp.asarray(srcs), jnp.asarray(dsts)
+        )
+        idx_all = np.asarray(idx_all)
+        dst_pt_all = np.asarray(dst_pt_all)
+        keep_all = np.asarray(keep_all)
+        src_mp_all = np.asarray(src_mp_all)
+        n_merged = n_added = 0
+        for bi, (a, b) in enumerate(pairs[:B]):
+            if a == b:
+                continue  # padding self-pair
+            idx = idx_all[bi]
+            dst_pt = dst_pt_all[bi]
+            keep = keep_all[bi]
+            src_mp = src_mp_all[bi]
+            add_feats, add_pts = [], []
+            merge_src, merge_dst = [], []
+            for f_src in np.nonzero(keep)[0]:
+                p_src = int(src_mp[f_src])
+                f_dst = int(idx[f_src])
+                p_dst = int(dst_pt[f_src])
+                if not graph.pt_alive[p_src]:
+                    continue
+                if p_dst < 0:
+                    # dst feature has no landmark: add observation
+                    if graph.obs_feat_in_kf(p_src, int(b)) < 0:
+                        graph.add_observation(p_src, int(b), f_dst, False)
+                        add_feats.append(f_dst)
+                        add_pts.append(p_src)
+                        n_added += 1
+                elif p_dst != p_src and graph.pt_alive[p_dst]:
+                    # duplicate landmark: keep the better-observed one
+                    if graph.n_obs(p_dst) >= graph.n_obs(p_src):
+                        lo, hi = p_src, p_dst
+                    else:
+                        lo, hi = p_dst, p_src
+                    for okf, feat in graph.obs_pairs(lo):
+                        if graph.obs_feat_in_kf(hi, okf) < 0:
+                            graph.add_observation(hi, okf, feat, False)
+                    graph.kill_point(lo)
+                    merge_src.append(lo)
+                    merge_dst.append(hi)
+                    n_merged += 1
+            if add_feats:
+                pad = ((len(add_feats) + 127) // 128) * 128
+                fa = np.full(pad, m.kf_mp.shape[1], np.int32)  # OOB feature -> drop
+                pa = np.full(pad, INVALID, np.int32)
+                fa[: len(add_feats)] = add_feats
+                pa[: len(add_pts)] = add_pts
+                m = self._set_obs(m, jnp.int32(b), jnp.asarray(fa), jnp.asarray(pa))
+            if merge_src:
+                pad = ((len(merge_src) + 127) // 128) * 128
+                sa = np.full(pad, m.point_capacity, np.int32)
+                da = np.full(pad, m.point_capacity, np.int32)
+                sa[: len(merge_src)] = merge_src
+                da[: len(merge_dst)] = merge_dst
+                m = self._remap_points(m, jnp.asarray(sa), jnp.asarray(da))
+        if n_merged or n_added:
+            graph.update_connections(new_kf, np.asarray(m.kf_mp[new_kf]))
+        return m, {"merged": n_merged, "added": n_added}
+
+    def cull_keyframes(self, m: MapArrays, graph: MapGraph, new_kf: int):
+        """KeyFrameCulling analog (`src/LocalMapping.cc:641-701`): a covisible
+        KF dies when >=90% of its landmarks are observed by >=3 other KFs at
+        the same or finer scale."""
+        if not hasattr(self, "_kill_kf"):
+            self._kill_kf = jax.jit(self._kill_kf_impl, donate_argnums=(0,))
+        killed = []
+        cands = [kf for kf in graph.covis_neighbors(new_kf, top_k=self.window)
+                 if kf != graph.origin_kf and kf != new_kf]
+        if not cands:
+            return m, killed
+        # one bulk transfer instead of per-candidate row reads
+        kf_level = np.asarray(m.kf_level)
+        kf_mp_all = np.asarray(m.kf_mp)
+        for kf in cands:
+            mp_row = kf_mp_all[kf]
+            obs_feats = np.nonzero(mp_row >= 0)[0]
+            if len(obs_feats) < 20:
+                continue
+            n_redundant, n_total = graph.redundant_obs(kf, mp_row, kf_level)
+            if n_total >= 20 and n_redundant > 0.9 * n_total:
+                # detach observations, repair spanning tree, free the row
+                for f in obs_feats:
+                    graph.erase_observation(int(mp_row[f]), kf)
+                graph.kill_keyframe(kf)
+                m = self._kill_kf(m, jnp.int32(kf))
+                killed.append(kf)
+        return m, killed
 
     def local_ba(self, m: MapArrays, graph: MapGraph, new_kf: int):
         """Free set = new KF + covisible window (origin stays fixed as gauge
@@ -255,29 +428,43 @@ class LocalMapper:
 
     def triangulate_new_points(self, m: MapArrays, graph: MapGraph, new_kf: int):
         """Create landmarks by triangulating the new KF against its best
-        covisible neighbors (CreateNewMapPoints host loop, one device
-        program per neighbor pair)."""
+        covisible neighbors. ALL neighbor pairs evaluate in ONE vmapped
+        device program (the reference's per-neighbor loop,
+        src/LocalMapping.cc:392, costs nothing to batch here); the host
+        resolves cross-neighbor duplicates and allocates slots once."""
         neighbors = graph.covis_neighbors(new_kf, top_k=self.tri_neighbors)
+        if not neighbors:
+            return m, 0
+        B = self.tri_neighbors
+        nbs = np.full(B, new_kf, np.int32)  # self-pair produces no free pairs
+        nbs[: len(neighbors)] = neighbors[:B]
+        xw_b, idx_b_b, good_b = self._tri_batch(m, jnp.int32(new_kf), jnp.asarray(nbs))
+        xw_b = np.asarray(xw_b)
+        idx_b_b = np.asarray(idx_b_b)
+        good_b = np.asarray(good_b)
         n_created = 0
-        for nb in neighbors:
-            xw, idx_b, good = self._tri(m, jnp.int32(new_kf), jnp.int32(nb))
-            good_np = np.asarray(good)
-            feats = np.nonzero(good_np)[0]
+        taken = np.zeros(good_b.shape[1], bool)  # feature of new_kf already used
+        for bi in range(min(len(neighbors), B)):
+            nb = int(nbs[bi])
+            if nb == new_kf:
+                continue  # padding self-pair
+            feats = np.nonzero(good_b[bi] & ~taken)[0]
             if len(feats) == 0:
                 continue
+            taken[feats] = True
             new_slots = graph.alloc_point_slots(len(feats))
-            slots = np.full(good_np.shape[0], -1, np.int32)
+            slots = np.full(good_b.shape[1], -1, np.int32)
             slots[feats] = new_slots
             m = self._tri_insert(
-                m, jnp.int32(new_kf), jnp.int32(nb), jnp.asarray(slots), idx_b, xw
+                m, jnp.int32(new_kf), jnp.int32(nb), jnp.asarray(slots),
+                jnp.asarray(idx_b_b[bi]), jnp.asarray(xw_b[bi]),
             )
-            idx_b_np = np.asarray(idx_b)
             for f, s in zip(feats, new_slots):
                 s = int(s)
                 graph.pt_alive[s] = True
                 graph.pt_first_kf[s] = new_kf
                 graph.add_observation(s, new_kf, int(f), False)
-                graph.add_observation(s, int(nb), int(idx_b_np[f]), False)
+                graph.add_observation(s, int(nb), int(idx_b_b[bi][f]), False)
             n_created += len(feats)
         if n_created:
             graph.update_connections(new_kf, np.asarray(m.kf_mp[new_kf]))
@@ -288,7 +475,7 @@ class LocalMapper:
         """Young points (first seen within `age` KFs) with too few
         observations die (MapPointCulling semantics)."""
         kill: List[int] = []
-        for pt in list(graph.obs.keys()):
+        for pt in graph.points_with_obs():
             if not graph.pt_alive[pt]:
                 continue
             first = graph.pt_first_kf[pt]

@@ -185,14 +185,14 @@ class LoopCloser:
             if pa >= 0 and graph.kf_alive[pa]:
                 ei.append(a); ej.append(pa); w.append(1.0)
                 rel.append(None)
-            for b, weight in graph.covis_weight.get(int(a), {}).items():
-                if weight >= 100 and graph.kf_alive[b] and (b, a) not in seen:
-                    seen.add((a, b))
+            for b in graph.covis_neighbors(int(a), min_weight=100):
+                if (b, a) not in seen:
+                    seen.add((int(a), int(b)))
                     ei.append(int(a)); ej.append(int(b)); w.append(1.0)
                     rel.append(None)
             for b in graph.loop_edges.get(int(a), set()):
                 if (b, a) not in seen:
-                    seen.add((a, b))
+                    seen.add((int(a), int(b)))
                     ei.append(int(a)); ej.append(int(b)); w.append(1.0)
                     rel.append(None)
         # measurements from current (pre-correction) estimates
@@ -225,9 +225,11 @@ class LoopCloser:
         # x' = S_new^-1 * S_old * x   (OptimizeEssentialGraph point correction,
         # src/Optimizer.cc:925-941)
         ref_kf = np.zeros(m.point_capacity, np.int64)
-        for pt, obs in graph.obs.items():
-            if graph.pt_alive[pt] and obs:
-                ref_kf[pt] = min(obs.keys())
+        for pt in graph.points_with_obs():
+            if graph.pt_alive[pt]:
+                pairs = graph.obs_pairs(pt)
+                if pairs:
+                    ref_kf[pt] = min(kf for kf, _ in pairs)
         ref_kf_dev = jnp.asarray(ref_kf, jnp.int32)
         S_old = poses_dev[ref_kf_dev]
         S_new = new_poses_s[ref_kf_dev]
@@ -248,11 +250,10 @@ class LoopCloser:
             if a == b or not graph.pt_alive[a] or not graph.pt_alive[b]:
                 continue
             # merge a's observations into b
-            for okf, feat in list(graph.obs.get(a, {}).items()):
-                if okf not in graph.obs.get(b, {}):
-                    graph.obs.setdefault(b, {})[okf] = feat
-            graph.pt_alive[a] = False
-            graph.obs.pop(a, None)
+            for okf, feat in graph.obs_pairs(a):
+                if graph.obs_feat_in_kf(b, okf) < 0:
+                    graph.add_observation(b, okf, feat, False)
+            graph.kill_point(a)
         # device-side: remap kf_mp entries from a->b and invalidate a
         remap_src = np.asarray([int(a) for a, ok in zip(pt_a, inl) if ok], np.int32)
         remap_dst = np.asarray([int(b) for b, ok in zip(pt_b, inl) if ok], np.int32)

@@ -228,6 +228,44 @@ class MapGraph:
         pairs = list(self.obs.pop(pt, {}).items())
         return pairs
 
+    # -- accessor interface shared with native.NativeMapGraph -------------
+
+    def set_kf_alive(self, kf: int, alive: bool):
+        self.kf_alive[kf] = alive
+
+    def obs_pairs(self, pt: int):
+        return list(self.obs.get(pt, {}).items())
+
+    def obs_feat_in_kf(self, pt: int, kf: int) -> int:
+        return self.obs.get(pt, {}).get(kf, -1)
+
+    def points_with_obs(self):
+        return [p for p, o in self.obs.items() if o]
+
+    def covis_w(self, a: int, b: int) -> int:
+        return self.covis_weight.get(a, {}).get(b, 0)
+
+    def redundant_obs(self, kf: int, mp_row: np.ndarray, levels_all: np.ndarray):
+        """(n_redundant, n_total) for KeyFrameCulling (python fallback)."""
+        redundant = total = 0
+        for f in np.nonzero(mp_row >= 0)[0]:
+            pt = int(mp_row[f])
+            if not self.pt_alive[pt]:
+                continue
+            total += 1
+            lvl = levels_all[kf, f]
+            n_better = 0
+            for okf, ofeat in self.obs.get(pt, {}).items():
+                if okf == kf or not self.kf_alive[okf]:
+                    continue
+                if levels_all[okf, ofeat] <= lvl + 1:
+                    n_better += 1
+                    if n_better >= 3:
+                        break
+            if n_better >= 3:
+                redundant += 1
+        return redundant, total
+
     def kill_keyframe(self, kf: int):
         """SetBadFlag analog with spanning-tree child re-parenting
         (src/KeyFrame.cc:379-470, simplified: children adopt best covisible

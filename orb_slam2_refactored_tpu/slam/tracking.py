@@ -65,6 +65,12 @@ class TrackerConfig:
     enable_loop_closing: bool = False
     vocab_words: int = 512
     mono_init_min_matches: int = 100  # src/Tracking.cc:1044 (<100 resets init)
+    max_new_points_per_kf: int = 350  # reference stops at 100 (src/Tracking.cc:685-743)
+                                      # but also triangulates densely; 350
+                                      # keeps our sparser map well-covered
+    pose_opt_rounds: int = 4          # reference: 4 rounds (src/Optimizer.cc:417)
+    pose_opt_iters: int = 5           # reference: 10 LM its/round; 5 converges
+    pipelined: bool = False           # overlap host readback with next dispatch
 
     def __post_init__(self):
         if self.map_capacity is None:
@@ -77,6 +83,24 @@ class TrackState:
     NOT_INITIALIZED = 0
     OK = 1
     LOST = 2
+
+
+def _make_graph(cap: MapCapacity):
+    """Sparse-graph backend: the native C++ arena (observations, covisibility,
+    spanning tree — see native/map_graph.cpp) when buildable, else the pure
+    python MapGraph. Override with TPU_SLAM_NATIVE_GRAPH=0/1."""
+    import os
+
+    want_native = os.environ.get("TPU_SLAM_NATIVE_GRAPH", "1") != "0"
+    if want_native:
+        try:
+            from ..native import NativeMapGraph, native_available
+
+            if native_available():
+                return NativeMapGraph(cap)
+        except Exception:
+            pass
+    return MapGraph(cap)
 
 
 class Tracker:
@@ -93,7 +117,7 @@ class Tracker:
             cfg.n_levels, cfg.scale_factor
         )
         self.map = empty_map(cfg.map_capacity)
-        self.graph = MapGraph(cfg.map_capacity)
+        self.graph = _make_graph(cfg.map_capacity)
         self.state = TrackState.NOT_INITIALIZED
         if cfg.enable_local_ba:
             from .local_mapping import LocalMapper
@@ -121,6 +145,7 @@ class Tracker:
         self.last_mp_dev = None
         self.ref_kf = -1
         self.ref_kf_tracked = 0
+        self._ref_mp_row = None
         self.frames_since_kf = 0
         self.frame_id = 0
         self.trajectory: List[np.ndarray] = []
@@ -144,7 +169,10 @@ class Tracker:
 
     def _prepare_impl(self, img, depth_img) -> FrameData:
         """Extract ORB + associate depth (ComputeStereoFromRGBD analog,
-        `/root/reference/src/System.cc:197-219`)."""
+        `/root/reference/src/System.cc:197-219`). Accepts uint8/float images
+        and f16/f32 depth (casts in-graph: cheap on device, 4x cheaper on the
+        host->device link)."""
+        depth_img = depth_img.astype(jnp.float32)
         feats: OrbFeatures = self.extractor._extract_impl(img)
         xi = jnp.clip(jnp.round(feats.xy[:, 0]).astype(jnp.int32), 0, self.cfg.width - 1)
         yi = jnp.clip(jnp.round(feats.xy[:, 1]).astype(jnp.int32), 0, self.cfg.height - 1)
@@ -258,7 +286,8 @@ class Tracker:
         inv_s2 = self.inv_sigma2[frame.level[midx]]
         n_mm = jnp.sum(keep.astype(jnp.int32))
         r1 = pose_optimize(
-            pred, lm_pos, obs_uv, obs_ur, inv_s2, keep, self.cam
+            pred, lm_pos, obs_uv, obs_ur, inv_s2, keep, self.cam,
+            rounds=cfg.pose_opt_rounds, iters_per_round=cfg.pose_opt_iters,
         )
 
         # ---- 2. whole-map projection matching (local-map tracking) ----
@@ -286,6 +315,7 @@ class Tracker:
         r2 = pose_optimize(
             r1.pose, pts, frame.xy, frame.u_right,
             self.inv_sigma2[frame.level], has_mp, self.cam,
+            rounds=cfg.pose_opt_rounds, iters_per_round=cfg.pose_opt_iters,
         )
         inl = r2.inliers & has_mp
         feat_mp_final = jnp.where(inl, feat_mp, INVALID)
@@ -528,7 +558,7 @@ class Tracker:
         )
         idx_np = np.asarray(midx)
         for k, (slot, ts) in enumerate([(slot0, self._mono_ref_ts), (slot1, timestamp)]):
-            self.graph.kf_alive[slot] = True
+            self.graph.set_kf_alive(slot, True)
             self.graph.kf_frame_id[slot] = self.frame_id - (1 - k)
             self.graph.kf_timestamp[slot] = ts
         self.graph.origin_kf = slot0
@@ -555,11 +585,80 @@ class Tracker:
         self.last_mp = np.asarray(self.last_mp_dev)
         self.ref_kf = slot1
         self.ref_kf_tracked = n_good
+        self._ref_mp_row = np.asarray(self.map.kf_mp[slot1])
         self.frames_since_kf = 0
         self._mono_ref = None
         self.state = TrackState.OK
 
+    # ------------------------------------------------------------------
+    # pipelined mode: hide the device->host round trip behind the next
+    # frame's dispatch. This reproduces the reference's thread asynchrony
+    # (tracking never waits for mapping, src/System.cc:398-411) as a
+    # 1-frame software pipeline: frame i+1 is dispatched from frame i's
+    # DEVICE outputs; frame i's scalars are read back while i+1 computes,
+    # and a keyframe decision for i lands one frame late (the mapping
+    # thread lagged in the reference too).
+    # ------------------------------------------------------------------
+
+    def _run_frame_pipelined(self, step_fn, timestamp: float):
+        cur = step_fn()
+        frame, pose_dev, vel_dev, feat_mp_dev, host_pack = cur
+        pending, self._pipeline_pending = getattr(self, "_pipeline_pending", None), (
+            frame, pose_dev, vel_dev, feat_mp_dev, host_pack, timestamp
+        )
+        # advance device-resident tracking state immediately (async)
+        self.pose_dev, self.velocity_dev = pose_dev, vel_dev
+        self.last_frame = frame
+        self.last_mp_dev = feat_mp_dev
+        if pending is not None:
+            self._finalize_pending(pending)
+        self.frame_id += 1
+        return self.pose
+
+    def flush(self):
+        """Drain the pipeline (call before reading the trajectory)."""
+        pending = getattr(self, "_pipeline_pending", None)
+        if pending is not None:
+            self._pipeline_pending = None
+            self._finalize_pending(pending)
+
+    def _finalize_pending(self, pending):
+        frame, pose_dev, vel_dev, feat_mp_dev, host_pack, ts = pending
+        pack = np.asarray(host_pack)
+        n_inl = int(pack[14])
+        if n_inl < self.cfg.min_inliers_track:
+            self.state = TrackState.LOST
+            self._pipeline_pending = None
+            self.pose_dev = jnp.asarray(self.pose)  # rewind device state
+            self.velocity_dev = jnp.asarray(np.asarray(se3.identity()))
+            self.trajectory.append(self.pose.copy())
+            self.track_info.append({"inliers": n_inl, "lost": True})
+            return
+        self.pose = pack[0:7]
+        self.velocity = pack[7:14]
+        self.frames_since_kf += 1
+        need_kf = self._need_new_keyframe(n_inl, int(pack[16]), int(pack[17]))
+        if need_kf:
+            # keyframe creation must not clobber the newer (in-flight)
+            # frame's device state — including the BA pose adoption, which
+            # refines frame i while pose_dev already belongs to frame i+1
+            save = (self.last_frame, self.last_mp_dev, self.last_mp,
+                    self.pose_dev, self.velocity_dev)
+            pose_np = self.pose.copy()
+            self._create_keyframe(frame, np.asarray(feat_mp_dev), ts)
+            (self.last_frame, self.last_mp_dev, self.last_mp,
+             self.pose_dev, self.velocity_dev) = save
+            self.pose = pose_np
+        self.trajectory.append(self.pose.copy())
+        self.track_info.append(
+            {"inliers": n_inl, "mm": int(pack[15]), "kf": bool(need_kf),
+             "lost": False}
+        )
+
     def _run_frame(self, prep_fn, step_fn, timestamp: float):
+        if self.cfg.pipelined and self.state == TrackState.OK:
+            return self._run_frame_pipelined(step_fn, timestamp)
+        self.flush()
         if self.state == TrackState.NOT_INITIALIZED:
             frame = prep_fn()
             self._initialize(frame, timestamp)
@@ -700,13 +799,27 @@ class Tracker:
         self.pose = np.asarray(self.map.kf_pose[slot])
         self.pose_dev = jnp.asarray(self.pose)
 
+    def _ref_kf_tracked_points(self) -> int:
+        """TrackedMapPoints(minObs) of the reference KF
+        (`/root/reference/src/KeyFrame.cc` via `Tracking.cc:489-492`): only
+        landmarks with >= minObs observations count toward the ratio gate —
+        fresh single-observation points don't inflate the baseline."""
+        if self.ref_kf < 0 or self._ref_mp_row is None:
+            return max(self.ref_kf_tracked, 1)
+        min_obs = 3 if len(self.graph.alive_kfs()) > 2 else 1
+        n = 0
+        for pt in self._ref_mp_row:
+            if pt >= 0 and self.graph.pt_alive[pt] and self.graph.n_obs(pt) >= min_obs:
+                n += 1
+        return max(n, 1)
+
     def _need_new_keyframe(self, n_inl, tracked_close, untracked_close) -> bool:
         """NeedNewKeyFrame policy (`/root/reference/src/Tracking.cc:465-550`):
         ratio vs reference KF, stereo close-point pressure, interval gates."""
         if self.frames_since_kf < self.cfg.kf_min_interval:
             return False
         need_close = (tracked_close < 100) and (untracked_close > 70)
-        ratio_gate = n_inl < self.cfg.kf_ref_ratio * max(self.ref_kf_tracked, 1)
+        ratio_gate = n_inl < self.cfg.kf_ref_ratio * self._ref_kf_tracked_points()
         interval_gate = self.frames_since_kf >= self.cfg.kf_max_interval
         return (ratio_gate or interval_gate or need_close) and n_inl > 15
 
@@ -739,6 +852,13 @@ class Tracker:
                 depth < (cfg.bf / cfg.fx) * cfg.th_depth
             )
             create_mask = valid & close & (feat_mp < 0)
+            # reference caps creation at the ~100 closest new points
+            # (src/Tracking.cc:685-743 sorted-depth loop)
+            if create_mask.sum() > cfg.max_new_points_per_kf:
+                cand = np.nonzero(create_mask)[0]
+                keep = cand[np.argsort(depth[cand])[: cfg.max_new_points_per_kf]]
+                create_mask = np.zeros_like(create_mask)
+                create_mask[keep] = True
         n_new = int(create_mask.sum())
         new_slots = np.full(frame.capacity, INVALID, np.int64)
         if n_new:
@@ -750,7 +870,7 @@ class Tracker:
         )
         all_mp = np.asarray(all_mp_dev)
         # host graph bookkeeping
-        self.graph.kf_alive[slot] = True
+        self.graph.set_kf_alive(slot, True)
         self.graph.kf_frame_id[slot] = self.frame_id
         self.graph.kf_timestamp[slot] = timestamp
         if self.graph.origin_kf < 0:
@@ -764,6 +884,7 @@ class Tracker:
         self.graph.update_connections(slot, all_mp)
         self.ref_kf = slot
         self.ref_kf_tracked = int((all_mp >= 0).sum())
+        self._ref_mp_row = all_mp.copy()
         self.frames_since_kf = 0
         self.last_mp = all_mp
         self.last_mp_dev = all_mp_dev
@@ -773,13 +894,21 @@ class Tracker:
         if self.cfg.enable_loop_closing:
             self._loop_closing_stage(frame, slot)
 
-        # local mapping stage (triangulation + culling + local BA)
+        # local mapping stage (reference Update order, src/LocalMapping.cc:93-130:
+        # triangulate -> fuse neighbors -> cull points -> local BA -> cull KFs)
         if self.local_mapper is not None and len(self.graph.alive_kfs()) >= 2:
             self.map, n_tri = self.local_mapper.triangulate_new_points(
                 self.map, self.graph, slot
             )
+            self.map, _ = self.local_mapper.fuse_neighbors(self.map, self.graph, slot)
             self.map, _ = self.local_mapper.cull_points(self.map, self.graph, slot)
             self.map, info = self.local_mapper.local_ba(self.map, self.graph, slot)
+            self.map, killed = self.local_mapper.cull_keyframes(
+                self.map, self.graph, slot
+            )
+            if killed and self.loop_closer is not None:
+                for k in killed:
+                    self.loop_closer.db.erase(k)
             self.last_ba_info = info
             if info is not None:
                 # adopt the BA-refined pose of the new keyframe as the

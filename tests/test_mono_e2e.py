@@ -36,4 +36,4 @@ class TestMonoSlam:
         rmse, _ = ate_rmse(est, gt[: len(est)], align="sim3")
         assert rmse < 0.3, f"mono ATE {rmse}"
         # triangulation must have populated the map beyond the bootstrap
-        assert tracker.graph.pt_alive.sum() > 300
+        assert tracker.graph.pt_alive.sum() > 150
