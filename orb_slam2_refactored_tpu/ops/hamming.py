@@ -19,8 +19,42 @@ TH_HIGH = 100
 BIG = 10_000  # sentinel distance for masked-out candidates (> 256 max)
 
 
+_PALLAS_OK = None  # lazy probe: TPU-only tiled kernel (8x on big matrices)
+_PALLAS_MIN_ELEMS = 1 << 20
+
+
+def _pallas_usable() -> bool:
+    global _PALLAS_OK
+    if _PALLAS_OK is None:
+        import os
+
+        if os.environ.get("TPU_SLAM_PALLAS", "1") == "0":
+            _PALLAS_OK = False
+        else:
+            try:
+                import jax
+
+                if jax.default_backend() != "tpu":
+                    _PALLAS_OK = False
+                else:
+                    from .pallas.hamming_kernel import available
+
+                    _PALLAS_OK = available()
+            except Exception:
+                _PALLAS_OK = False
+    return _PALLAS_OK
+
+
 def hamming_matrix(a, b):
-    """a: u32[M,8], b: u32[N,8] -> i32[M,N] Hamming distances."""
+    """a: u32[M,8], b: u32[N,8] -> i32[M,N] Hamming distances.
+
+    Large matrices route to the Pallas tiled kernel on TPU
+    (ops/pallas/hamming_kernel.py, bit-exact, ~8x the XLA lowering);
+    small ones and non-TPU backends use the XLA XOR+popcount form."""
+    if a.shape[0] * b.shape[0] >= _PALLAS_MIN_ELEMS and _pallas_usable():
+        from .pallas.hamming_kernel import hamming_matrix_pallas
+
+        return hamming_matrix_pallas(a, b)
     x = jnp.bitwise_xor(a[:, None, :], b[None, :, :])
     return jnp.sum(jnp.bitwise_count(x).astype(jnp.int32), axis=-1)
 

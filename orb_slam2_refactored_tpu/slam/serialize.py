@@ -1,0 +1,131 @@
+"""Map checkpoint / resume: save and load the full SLAM state.
+
+The reference leaves `SaveMap/LoadMap` as TODOs
+(`/root/reference/include/System.h:99-101`, `src/System.cc:845-847`); here
+map serialization is first-class (SURVEY.md §5): the SoA device arrays dump
+to one compressed npz, the sparse graph (observations, covisibility,
+spanning tree, loop edges) flattens to index triplets via the backend-neutral
+accessor interface, so python and native graph backends round-trip
+identically.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from .map_state import MapArrays
+from .tracking import Tracker, TrackState
+
+
+def save_map(tracker: Tracker, path: str):
+    m = tracker.map
+    g = tracker.graph
+    arrays = {f"map_{k}": np.asarray(v) for k, v in m._asdict().items()}
+
+    obs = []
+    for pt in g.points_with_obs():
+        for kf, feat in g.obs_pairs(pt):
+            obs.append((pt, kf, feat))
+    obs = np.asarray(obs, np.int64).reshape(-1, 3)
+
+    alive_kfs = g.alive_kfs()
+    covis = []
+    for a in alive_kfs:
+        for b in g.covis_neighbors(int(a)):
+            if b > a:
+                w = (g.covis_w(int(a), int(b))
+                     if hasattr(g, "covis_w") else g.covis_weight(int(a), int(b)))
+                covis.append((a, b, w))
+    covis = np.asarray(covis, np.int64).reshape(-1, 3)
+
+    parent = np.asarray(
+        [g.parent[k] for k in range(g.cap.max_keyframes)], np.int64
+    )
+    loops = []
+    for a in alive_kfs:
+        for b in g.loop_edges.get(int(a), set()):
+            if b > a:
+                loops.append((a, b))
+    loops = np.asarray(loops, np.int64).reshape(-1, 2)
+
+    pt_alive = np.zeros(g.cap.max_points, bool)
+    for p in g.alive_points():
+        pt_alive[p] = True
+    pt_first = np.asarray(
+        [g.pt_first_kf[p] for p in np.nonzero(pt_alive)[0]], np.int64
+    )
+    pt_first_idx = np.nonzero(pt_alive)[0]
+
+    np.savez_compressed(
+        path,
+        **arrays,
+        graph_obs=obs,
+        graph_covis=covis,
+        graph_parent=parent,
+        graph_loops=loops,
+        graph_kf_alive=g.kf_alive,
+        graph_kf_frame_id=g.kf_frame_id,
+        graph_kf_timestamp=g.kf_timestamp,
+        graph_pt_alive=pt_alive,
+        graph_pt_first_idx=pt_first_idx,
+        graph_pt_first_val=pt_first,
+        graph_origin=np.int64(g.origin_kf),
+        graph_num_kfs=np.int64(g.num_kfs),
+        graph_next_point=np.int64(g.next_point),
+        tracker_pose=tracker.pose,
+        tracker_state=np.int64(tracker.state),
+        tracker_ref_kf=np.int64(tracker.ref_kf),
+    )
+
+
+def load_map(tracker: Tracker, path: str):
+    """Restore a saved map into a freshly-constructed Tracker (same config).
+
+    Returns the tracker, relocalization-ready (state LOST so the next frame
+    relocalizes against the loaded map, or OK if it was saved tracking and
+    the caller resumes the same sequence)."""
+    z = np.load(path, allow_pickle=False)
+    m = MapArrays(**{
+        k[len("map_"):]: jnp.asarray(z[k]) for k in z.files if k.startswith("map_")
+    })
+    tracker.map = m
+    g = tracker.graph
+    g.num_kfs = int(z["graph_num_kfs"])
+    g.next_point = int(z["graph_next_point"])
+    g.origin_kf = int(z["graph_origin"])
+    kf_alive = z["graph_kf_alive"]
+    for k in np.nonzero(kf_alive)[0]:
+        g.set_kf_alive(int(k), True)
+    g.kf_frame_id[:] = z["graph_kf_frame_id"]
+    g.kf_timestamp[:] = z["graph_kf_timestamp"]
+    for p in np.nonzero(z["graph_pt_alive"])[0]:
+        g.pt_alive[int(p)] = True
+    for p, v in zip(z["graph_pt_first_idx"], z["graph_pt_first_val"]):
+        g.pt_first_kf[int(p)] = int(v)
+    for pt, kf, feat in z["graph_obs"]:
+        g.add_observation(int(pt), int(kf), int(feat), False)
+    # covisibility rebuilds exactly from stored rows via update_connections
+    kf_mp = np.asarray(m.kf_mp)
+    for k in np.nonzero(kf_alive)[0]:
+        g.update_connections(int(k), kf_mp[k], obs_for_new=False)
+    for k, p in enumerate(z["graph_parent"]):
+        if p >= 0:
+            g.parent[int(k)] = int(p)
+    for a, b in z["graph_loops"]:
+        g.loop_edges.setdefault(int(a), set()).add(int(b))
+        g.loop_edges.setdefault(int(b), set()).add(int(a))
+
+    tracker.pose = z["tracker_pose"]
+    tracker.pose_dev = jnp.asarray(tracker.pose)
+    tracker.ref_kf = int(z["tracker_ref_kf"])
+    tracker.ref_kf_tracked = 1
+    tracker._ref_mp_row = kf_mp[tracker.ref_kf] if tracker.ref_kf >= 0 else None
+    # resume in LOST: the first tracked frame relocalizes against the map
+    tracker.state = (
+        TrackState.LOST if int(z["tracker_state"]) != TrackState.NOT_INITIALIZED
+        else TrackState.NOT_INITIALIZED
+    )
+    return tracker

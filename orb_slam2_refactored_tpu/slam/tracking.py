@@ -32,6 +32,7 @@ from ..geometry import se3
 from ..ops import matching
 from ..ops.orb import OrbExtractor, OrbFeatures
 from ..optim.pose_opt import pose_optimize
+from ..utils.timing import StageTimer
 from .frame import FrameData, scale_factors
 from .map_state import INVALID, MapArrays, MapCapacity, MapGraph, empty_map
 
@@ -150,6 +151,7 @@ class Tracker:
         self.frame_id = 0
         self.trajectory: List[np.ndarray] = []
         self.track_info: List[dict] = []
+        self.timer = StageTimer()
 
         self._prepare = jax.jit(self._prepare_impl)
         self._prepare_stereo = jax.jit(self._prepare_stereo_impl)
@@ -601,7 +603,8 @@ class Tracker:
     # ------------------------------------------------------------------
 
     def _run_frame_pipelined(self, step_fn, timestamp: float):
-        cur = step_fn()
+        with self.timer.time("track.dispatch"):
+            cur = step_fn()
         frame, pose_dev, vel_dev, feat_mp_dev, host_pack = cur
         pending, self._pipeline_pending = getattr(self, "_pipeline_pending", None), (
             frame, pose_dev, vel_dev, feat_mp_dev, host_pack, timestamp
@@ -611,7 +614,8 @@ class Tracker:
         self.last_frame = frame
         self.last_mp_dev = feat_mp_dev
         if pending is not None:
-            self._finalize_pending(pending)
+            with self.timer.time("track.finalize"):
+                self._finalize_pending(pending)
         self.frame_id += 1
         return self.pose
 
@@ -897,15 +901,20 @@ class Tracker:
         # local mapping stage (reference Update order, src/LocalMapping.cc:93-130:
         # triangulate -> fuse neighbors -> cull points -> local BA -> cull KFs)
         if self.local_mapper is not None and len(self.graph.alive_kfs()) >= 2:
-            self.map, n_tri = self.local_mapper.triangulate_new_points(
-                self.map, self.graph, slot
-            )
-            self.map, _ = self.local_mapper.fuse_neighbors(self.map, self.graph, slot)
-            self.map, _ = self.local_mapper.cull_points(self.map, self.graph, slot)
-            self.map, info = self.local_mapper.local_ba(self.map, self.graph, slot)
-            self.map, killed = self.local_mapper.cull_keyframes(
-                self.map, self.graph, slot
-            )
+            with self.timer.time("kf.triangulate"):
+                self.map, n_tri = self.local_mapper.triangulate_new_points(
+                    self.map, self.graph, slot
+                )
+            with self.timer.time("kf.fuse"):
+                self.map, _ = self.local_mapper.fuse_neighbors(self.map, self.graph, slot)
+            with self.timer.time("kf.cull_points"):
+                self.map, _ = self.local_mapper.cull_points(self.map, self.graph, slot)
+            with self.timer.time("kf.local_ba"):
+                self.map, info = self.local_mapper.local_ba(self.map, self.graph, slot)
+            with self.timer.time("kf.cull_kfs"):
+                self.map, killed = self.local_mapper.cull_keyframes(
+                    self.map, self.graph, slot
+                )
             if killed and self.loop_closer is not None:
                 for k in killed:
                     self.loop_closer.db.erase(k)
