@@ -59,7 +59,8 @@ class LoopCloser:
         self.fix_scale = fix_scale
         self.gba_iters = gba_iters
         self.gba_cg_iters = gba_cg_iters
-        _, _, self.inv_sigma2 = scale_factors(n_levels, scale_factor)
+        sf, _, self.inv_sigma2 = scale_factors(n_levels, scale_factor)
+        self._sf_arr = sf
         # consistency groups: list of (set_of_kfs, count)
         self.consistent_groups: List = []
         self.last_loop_kf = -1
@@ -153,6 +154,38 @@ class LoopCloser:
         # S: maps loop-KF camera coords -> current-KF camera coords
         S = sim3.from_se3(res.pose, res.scale)
         return S, np.asarray(res.inliers), np.asarray(pt_a), np.asarray(pt_b)
+
+    def verify_by_projection(self, m: MapArrays, graph: MapGraph, kf: int,
+                             loop_kf: int, S_cl, min_matches: int = 40):
+        """Project the loop neighborhood's landmarks through the corrected
+        pose into the current KF and count matches — the reference's final
+        acceptance gate (`src/LoopClosing.cc:259-295`: SearchByProjection
+        via Scw, >= 40 matches accepts)."""
+        if not hasattr(self, "_proj_verify"):
+            def impl(m, kf, pose_cw, loop_mask):
+                return matching.search_by_projection(
+                    m.kf_xy[kf], m.kf_level[kf], m.kf_desc[kf],
+                    m.kf_feat_valid[kf],
+                    m.mp_pos, m.mp_desc, m.mp_normal,
+                    m.mp_min_dist, m.mp_max_dist,
+                    m.mp_valid & loop_mask,
+                    pose_cw, self.cam, self._sf_arr,
+                    radius=10.0, check_view_angle=False,
+                )
+            self._proj_verify = jax.jit(impl)
+        # corrected world->camera pose of the current KF
+        S_loop_cw = sim3.from_se3(m.kf_pose[loop_kf])
+        pose_corr = sim3.to_se3(sim3.compose(S_cl, S_loop_cw))
+        loop_mask = np.zeros(m.point_capacity, bool)
+        group = [loop_kf] + graph.covis_neighbors(loop_kf, top_k=10)
+        kf_mp = np.asarray(m.kf_mp)
+        for g in group:
+            row = kf_mp[g]
+            loop_mask[row[row >= 0]] = True
+        res = self._proj_verify(m, jnp.int32(kf), pose_corr,
+                                jnp.asarray(loop_mask))
+        n = int(np.asarray(res.valid).sum())
+        return n >= min_matches, n
 
     # ------------------------------------------------------------------
 

@@ -197,15 +197,19 @@ class Tracker:
         """Batched L/R extraction (the reference forks two threads,
         `/root/reference/src/System.cc:449-452`; here the camera IS the batch
         axis) + row-banded stereo association (`src/ORBmatcher.cc:72-247`)."""
-        from ..ops.stereo import stereo_match
+        from ..ops.stereo import refine_subpixel, stereo_match
+        from ..ops.image import to_gray
 
         both = jax.vmap(self.extractor._extract_impl)(jnp.stack([img_l, img_r]))
         lf = jax.tree_util.tree_map(lambda x: x[0], both)
         rf = jax.tree_util.tree_map(lambda x: x[1], both)
-        u_right, depth, _ = stereo_match(
+        u_right, depth, ok = stereo_match(
             lf.xy, lf.level, lf.desc, lf.valid,
             rf.xy, rf.level, rf.desc, rf.valid,
             self.sf, self.cfg.bf, min_z=self.cfg.bf / self.cfg.fx,
+        )
+        u_right, depth, ok = refine_subpixel(
+            to_gray(img_l), to_gray(img_r), lf.xy, u_right, ok, self.cfg.bf
         )
         return FrameData(
             xy=lf.xy, xy_raw=lf.xy, level=lf.level, angle=lf.angle,
@@ -796,6 +800,11 @@ class Tracker:
         if out is None:
             return
         S, inl, pt_a, pt_b = out
+        ok, n_proj = self.loop_closer.verify_by_projection(
+            self.map, self.graph, slot, loop_kf, S
+        )
+        if not ok:
+            return
         self.map, info = self.loop_closer.correct(
             self.map, self.graph, slot, loop_kf, S, inl, pt_a, pt_b
         )
@@ -810,7 +819,10 @@ class Tracker:
         fresh single-observation points don't inflate the baseline."""
         if self.ref_kf < 0 or self._ref_mp_row is None:
             return max(self.ref_kf_tracked, 1)
-        min_obs = 3 if len(self.graph.alive_kfs()) > 2 else 1
+        # reference uses minObs=3 on mature maps (src/Tracking.cc:489-492);
+        # with our shorter-lived maps and per-KF creation caps, >=2 keeps the
+        # baseline meaningful without starving keyframe insertion
+        min_obs = 2 if len(self.graph.alive_kfs()) > 2 else 1
         n = 0
         for pt in self._ref_mp_row:
             if pt >= 0 and self.graph.pt_alive[pt] and self.graph.n_obs(pt) >= min_obs:

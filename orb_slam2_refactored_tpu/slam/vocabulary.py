@@ -86,6 +86,49 @@ def train_vocabulary(
     )
 
 
+def load_dbow2_text(path: str, max_words: Optional[int] = None) -> Vocabulary:
+    """Load a DBoW2 text vocabulary (the reference's ORBvoc.txt format,
+    `TemplatedVocabulary::loadFromTextFile`): header `k L scoring weighting`,
+    then one node per line `parent is_leaf b0..b31 weight`. Only leaves
+    become words here (the tree is unnecessary on TPU — transform is a
+    brute-force Hamming argmin over all leaf centroids)."""
+    words = []
+    weights = []
+    with open(path) as f:
+        header = f.readline().split()
+        assert len(header) >= 2, "not a DBoW2 text vocabulary"
+        for line in f:
+            parts = line.split()
+            if len(parts) < 35:
+                continue
+            is_leaf = int(parts[1])
+            if not is_leaf:
+                continue
+            desc_bytes = np.asarray([int(x) for x in parts[2:34]], np.uint8)
+            words.append(desc_bytes.view(np.uint32))
+            weights.append(float(parts[34]))
+            if max_words and len(words) >= max_words:
+                break
+    assert words, "vocabulary contained no leaf words"
+    w = np.stack(words)
+    idf = np.asarray(weights, np.float32)
+    idf = idf / max(idf.max(), 1e-9)
+    return Vocabulary(words=jnp.asarray(w), idf=jnp.asarray(idf))
+
+
+def save_dbow2_text(voc: Vocabulary, path: str):
+    """Write a flat (depth-1) vocabulary in the DBoW2 text schema so it can
+    round-trip through `load_dbow2_text` (and external DBoW2 readers that
+    accept k = n_words, L = 1)."""
+    words = np.asarray(voc.words).view(np.uint8).reshape(voc.n_words, 32)
+    idf = np.asarray(voc.idf)
+    with open(path, "w") as f:
+        f.write(f"{voc.n_words} 1 0 0\n")
+        for i in range(voc.n_words):
+            byte_str = " ".join(str(int(b)) for b in words[i])
+            f.write(f"0 1 {byte_str} {float(idf[i]):.6f}\n")
+
+
 def transform(voc: Vocabulary, desc, valid):
     """Descriptors u32[N,8] -> L1-normalized tf-idf word vector f32[W]
     (TemplatedVocabulary::transform analog) plus per-feature word ids."""
