@@ -31,7 +31,17 @@ def _hash2(ix, iy, seed):
 
 
 def block_texture(u, v, seed: int, scales=(0.25, 0.5)):
-    """Multi-scale random-block texture in [0,255], sharp edges everywhere."""
+    """Multi-scale random-block texture in [0,255], sharp edges everywhere.
+
+    Pass `scales=None` for seed-varied block scales: different surfaces get
+    different spatial statistics, which keeps BoW place recognition from
+    aliasing (with uniform scales every wall has near-identical word
+    histograms and all loop candidates alias — the geometric gates reject
+    them, verified experimentally, but no true loop can be retrieved either).
+    """
+    if scales is None:
+        base = 0.18 + 0.1 * ((seed * 29) % 5)
+        scales = (base, base * 2.3)
     val = np.zeros_like(u, dtype=np.float32)
     for k, s in enumerate(scales):
         iu = np.floor(u / s).astype(np.int64)
@@ -48,17 +58,22 @@ class Plane:
     axis_u: np.ndarray  # in-plane texture axes
     axis_v: np.ndarray
     seed: int
+    scales: tuple = (0.25, 0.5)  # None -> seed-varied (distinct per surface)
 
 
-def box_room(half_x=3.0, half_y=2.0, z_far=7.0, z_near=-7.0) -> List[Plane]:
+def box_room(half_x=3.0, half_y=2.0, z_far=7.0, z_near=-7.0,
+             distinct_textures=False) -> List[Plane]:
+    """`distinct_textures=True` gives every surface its own block scales so
+    BoW place recognition can discriminate surfaces (see block_texture)."""
     e = np.eye(3, dtype=np.float32)
+    sc = None if distinct_textures else (0.25, 0.5)
     return [
-        Plane(np.array([0, 0, z_far], np.float32), -e[2], e[0], e[1], 1),   # back wall
-        Plane(np.array([0, 0, z_near], np.float32), e[2], e[0], e[1], 6),   # front wall
-        Plane(np.array([-half_x, 0, 0], np.float32), e[0], e[2], e[1], 2),  # left
-        Plane(np.array([half_x, 0, 0], np.float32), -e[0], e[2], e[1], 3),  # right
-        Plane(np.array([0, half_y, 0], np.float32), -e[1], e[0], e[2], 4),  # floor
-        Plane(np.array([0, -half_y, 0], np.float32), e[1], e[0], e[2], 5),  # ceiling
+        Plane(np.array([0, 0, z_far], np.float32), -e[2], e[0], e[1], 1, sc),   # back wall
+        Plane(np.array([0, 0, z_near], np.float32), e[2], e[0], e[1], 6, sc),   # front wall
+        Plane(np.array([-half_x, 0, 0], np.float32), e[0], e[2], e[1], 2, sc),  # left
+        Plane(np.array([half_x, 0, 0], np.float32), -e[0], e[2], e[1], 3, sc),  # right
+        Plane(np.array([0, half_y, 0], np.float32), -e[1], e[0], e[2], 4, sc),  # floor
+        Plane(np.array([0, -half_y, 0], np.float32), e[1], e[0], e[2], 5, sc),  # ceiling
     ]
 
 
@@ -99,7 +114,7 @@ class SyntheticScene:
             pt = c + dirs * t[..., None]
             u = (pt - pl.point) @ pl.axis_u
             v = (pt - pl.point) @ pl.axis_v
-            tex = block_texture(u, v, pl.seed)
+            tex = block_texture(u, v, pl.seed, pl.scales)
             img = np.where(hit, tex, img)
             best_t = np.where(hit, t, best_t)
         depth = best_t * 1.0  # t multiplies unit-z rays: depth = t (z component 1)

@@ -281,6 +281,97 @@ class LocalMapper:
         mp_valid = m.mp_valid.at[src].set(False, mode="drop")
         return m._replace(kf_mp=kf_mp, mp_valid=mp_valid)
 
+    MAXOBS = 8  # observers considered per point for descriptor/normal refresh
+
+    def _refresh_points_impl(self, m: MapArrays, pts, obs_kf, obs_feat, n_obs):
+        """Recompute distinctive descriptors + viewing normals + scale bands
+        for a batch of points from their observer lists.
+
+        ComputeDistinctiveDescriptors (`/root/reference/src/MapPoint.cc:257-320`):
+        the descriptor with least median Hamming distance to the others.
+        UpdateNormalAndDepth (`:341-392`): mean unit viewing ray; distance
+        band from the reference (first) observation's level.
+        pts: i32[B] (point_capacity = padding); obs_kf/obs_feat: i32[B,M].
+        """
+        from ..ops import hamming
+
+        B, M = obs_kf.shape
+        safe_kf = jnp.clip(obs_kf, 0, m.kf_capacity - 1)
+        safe_ft = jnp.clip(obs_feat, 0, m.kf_mp.shape[1] - 1)
+        valid = (jnp.arange(M)[None, :] < n_obs[:, None])
+
+        descs = m.kf_desc[safe_kf, safe_ft]          # [B,M,8]
+        # median Hamming distance of each candidate to the rest
+        def med_dist(d_row, v_row):
+            dm = hamming.hamming_matrix(d_row, d_row)  # [M,M]
+            dm = jnp.where(v_row[None, :], dm, hamming.BIG)
+            meds = jnp.median(dm, axis=1)
+            return jnp.argmin(jnp.where(v_row, meds, 1e9))
+
+        best_idx = jax.vmap(med_dist)(descs, valid)   # [B]
+        best_desc = jnp.take_along_axis(
+            descs, best_idx[:, None, None].astype(jnp.int32), axis=1
+        )[:, 0]
+
+        # normals: mean unit ray from observer camera centers
+        pose_wc = se3.inverse(m.kf_pose[safe_kf].reshape(-1, 7)).reshape(B, M, 7)
+        centers = pose_wc[..., 4:7]
+        safe_pts = jnp.clip(pts, 0, m.point_capacity - 1)
+        xw = m.mp_pos[safe_pts]                        # [B,3]
+        rays = xw[:, None, :] - centers
+        rays = rays / jnp.maximum(
+            jnp.linalg.norm(rays, axis=-1, keepdims=True), 1e-9
+        )
+        normal = jnp.sum(jnp.where(valid[..., None], rays, 0.0), axis=1)
+        normal = normal / jnp.maximum(
+            jnp.linalg.norm(normal, axis=-1, keepdims=True), 1e-9
+        )
+        # scale band from the first (reference) observation
+        ref_kf = safe_kf[:, 0]
+        ref_ft = safe_ft[:, 0]
+        ref_center = se3.translation(se3.inverse(m.kf_pose[ref_kf]))
+        dist = jnp.linalg.norm(xw - ref_center, axis=-1)
+        lvl = m.kf_level[ref_kf, ref_ft]
+        max_dist = dist * self.sf[lvl]
+        min_dist = max_dist / self.sf[-1]
+
+        ok = (pts < m.point_capacity) & (n_obs > 0)
+        tgt = jnp.where(ok, pts, m.point_capacity)
+        return m._replace(
+            mp_desc=m.mp_desc.at[tgt].set(best_desc, mode="drop"),
+            mp_normal=m.mp_normal.at[tgt].set(normal, mode="drop"),
+            mp_min_dist=m.mp_min_dist.at[tgt].set(min_dist, mode="drop"),
+            mp_max_dist=m.mp_max_dist.at[tgt].set(max_dist, mode="drop"),
+            mp_nobs=m.mp_nobs.at[tgt].set(n_obs, mode="drop"),
+        )
+
+    def refresh_points(self, m: MapArrays, graph: MapGraph, new_kf: int,
+                       batch: int = 1024):
+        """Refresh stats of every multi-observation point seen by the new KF."""
+        if not hasattr(self, "_refresh"):
+            self._refresh = jax.jit(self._refresh_points_impl, donate_argnums=(0,))
+        row = np.asarray(m.kf_mp[new_kf])
+        cand = [int(p) for p in row[row >= 0] if graph.n_obs(int(p)) >= 2]
+        if not cand:
+            return m
+        cand = cand[: batch]
+        B, M = batch, self.MAXOBS
+        pts = np.full(B, m.point_capacity, np.int32)
+        okf = np.zeros((B, M), np.int32)
+        oft = np.zeros((B, M), np.int32)
+        nob = np.zeros(B, np.int32)
+        for i, p in enumerate(cand):
+            pairs = graph.obs_pairs(p)[:M]
+            pts[i] = p
+            nob[i] = len(pairs)
+            for j, (kf, ft) in enumerate(pairs):
+                okf[i, j] = kf
+                oft[i, j] = ft
+        return self._refresh(
+            m, jnp.asarray(pts), jnp.asarray(okf), jnp.asarray(oft),
+            jnp.asarray(nob),
+        )
+
     # -- host orchestration ----------------------------------------------
 
     def fuse_neighbors(self, m: MapArrays, graph: MapGraph, new_kf: int,

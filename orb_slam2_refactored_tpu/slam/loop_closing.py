@@ -190,7 +190,7 @@ class LoopCloser:
     # ------------------------------------------------------------------
 
     def correct(self, m: MapArrays, graph: MapGraph, kf: int, loop_kf: int,
-                S_cl, inliers, pt_a, pt_b):
+                S_cl, inliers, pt_a, pt_b, async_gba: bool = True):
         """Loop correction + essential-graph optimization + global BA.
 
         S_cl: Sim3 mapping loop-KF CAMERA frame to current-KF CAMERA frame.
@@ -305,7 +305,12 @@ class LoopCloser:
         self.last_loop_kf = kf
         self.loops_closed += 1
 
-        # ---- global BA (GlobalBA analog; synchronous bounded run) --------
+        # ---- global BA: async dispatch (merged at the next keyframe) or
+        # synchronous bounded run
+        if async_gba:
+            pending = self.launch_gba(m, graph)
+            return m, {"pg_cost": (float(c0), float(c1)),
+                       "gba_pending": pending}
         free = np.zeros(K, bool)
         free[alive] = True
         free[graph.origin_kf] = False
@@ -313,6 +318,72 @@ class LoopCloser:
         m = m._replace(kf_pose=kf_pose2, mp_pos=pt_pos2)
         return m, {"pg_cost": (float(c0), float(c1)),
                    "gba_cost": (float(g0), float(g1))}
+
+    def _merge_gba_impl(self, m: MapArrays, gba_pose, gba_pts, old_pose,
+                        kf_launched, parent_idx, pt_launched, pt_ref_kf):
+        """Async-GBA result merge (GlobalBA::_Run merge semantics,
+        `/root/reference/src/LoopClosing.cc:393-446`): keyframes that existed
+        at launch adopt the GBA pose; keyframes created since are corrected
+        through their spanning-tree parent (T_child_parent * T_parent_new);
+        points created since move with their reference keyframe's correction.
+        """
+        safe_parent = jnp.clip(parent_idx, 0, m.kf_capacity - 1)
+        t_child_parent = se3.compose(m.kf_pose, se3.inverse(old_pose[safe_parent]))
+        corrected_late = se3.compose(t_child_parent, gba_pose[safe_parent])
+        new_pose = jnp.where(kf_launched[:, None], gba_pose, corrected_late)
+        new_pose = jnp.where(m.kf_valid[:, None], new_pose, m.kf_pose)
+
+        ref = jnp.clip(pt_ref_kf, 0, m.kf_capacity - 1)
+        corr = se3.compose(se3.inverse(new_pose[ref]), m.kf_pose[ref])
+        moved = se3.transform(corr, m.mp_pos)
+        new_pts = jnp.where(pt_launched[:, None], gba_pts, moved)
+        new_pts = jnp.where(m.mp_valid[:, None], new_pts, m.mp_pos)
+        return m._replace(kf_pose=new_pose, mp_pos=new_pts)
+
+    def launch_gba(self, m: MapArrays, graph: MapGraph):
+        """Dispatch global BA asynchronously (device compute overlaps the
+        frames tracked until the merge — the reference's detached GBA
+        thread, `src/LoopClosing.cc:309-347`). Returns a pending handle."""
+        K = m.kf_capacity
+        alive = graph.alive_kfs()
+        free = np.zeros(K, bool)
+        free[alive] = True
+        free[graph.origin_kf] = False
+        kf_pose2, pt_pos2, inlier, g0, g1 = self._gba(m, jnp.asarray(free))
+        kf_launched = np.zeros(K, bool)
+        kf_launched[alive] = True
+        pt_launched = np.zeros(m.point_capacity, bool)
+        pt_launched[graph.alive_points()] = True
+        return {
+            "gba_pose": kf_pose2, "gba_pts": pt_pos2,
+            "old_pose": m.kf_pose,  # device snapshot at launch
+            "kf_launched": kf_launched, "pt_launched": pt_launched,
+            "costs": (g0, g1),
+        }
+
+    def merge_gba(self, m: MapArrays, graph: MapGraph, pending):
+        """Apply a pending GBA result to the (possibly grown) map."""
+        if not hasattr(self, "_merge_gba"):
+            # no donation: pending["old_pose"] may alias m.kf_pose when the
+            # map did not change between launch and merge
+            self._merge_gba = jax.jit(self._merge_gba_impl)
+        K = m.kf_capacity
+        parent = np.asarray(
+            [graph.parent[k] if graph.parent[k] >= 0 else graph.origin_kf
+             for k in range(K)], np.int32,
+        )
+        pt_ref = np.zeros(m.point_capacity, np.int32)
+        for pt in graph.points_with_obs():
+            pairs = graph.obs_pairs(pt)
+            if pairs:
+                pt_ref[pt] = min(kf for kf, _ in pairs)
+        m = self._merge_gba(
+            m, pending["gba_pose"], pending["gba_pts"], pending["old_pose"],
+            jnp.asarray(pending["kf_launched"]), jnp.asarray(parent),
+            jnp.asarray(pending["pt_launched"]), jnp.asarray(pt_ref),
+        )
+        g0, g1 = float(pending["costs"][0]), float(pending["costs"][1])
+        return m, {"gba_cost": (g0, g1)}
 
     def _gba_impl(self, m: MapArrays, free_mask):
         prob = BAProblem(

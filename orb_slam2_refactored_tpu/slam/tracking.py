@@ -136,6 +136,7 @@ class Tracker:
         self.loop_closer = None
         self.vocabulary = None
         self.last_loop_info = None
+        self._gba_pending = None
 
         self.pose = np.asarray(se3.identity())
         self.velocity = np.asarray(se3.identity())
@@ -808,6 +809,7 @@ class Tracker:
         self.map, info = self.loop_closer.correct(
             self.map, self.graph, slot, loop_kf, S, inl, pt_a, pt_b
         )
+        self._gba_pending = info.pop("gba_pending", None)
         self.last_loop_info = {"loop_kf": loop_kf, "kf": slot, **info}
         self.pose = np.asarray(self.map.kf_pose[slot])
         self.pose_dev = jnp.asarray(self.pose)
@@ -906,6 +908,18 @@ class Tracker:
         self.last_mp_dev = all_mp_dev
         self.last_kf_frame: FrameData = frame
 
+        # merge any async global-BA result before growing the map further
+        # (the reference's GBA thread merges under the map mutex,
+        # src/LoopClosing.cc:370-452; here the merge lands at the next KF)
+        if self._gba_pending is not None and self.loop_closer is not None:
+            with self.timer.time("kf.gba_merge"):
+                self.map, ginfo = self.loop_closer.merge_gba(
+                    self.map, self.graph, self._gba_pending
+                )
+                self._gba_pending = None
+                if self.last_loop_info is not None:
+                    self.last_loop_info.update(ginfo)
+
         # loop closing stage: BoW index + detection + Sim3 + correction
         if self.cfg.enable_loop_closing:
             self._loop_closing_stage(frame, slot)
@@ -919,6 +933,10 @@ class Tracker:
                 )
             with self.timer.time("kf.fuse"):
                 self.map, _ = self.local_mapper.fuse_neighbors(self.map, self.graph, slot)
+            with self.timer.time("kf.refresh_points"):
+                self.map = self.local_mapper.refresh_points(
+                    self.map, self.graph, slot
+                )
             with self.timer.time("kf.cull_points"):
                 self.map, _ = self.local_mapper.cull_points(self.map, self.graph, slot)
             with self.timer.time("kf.local_ba"):
