@@ -18,6 +18,15 @@ import time
 
 import numpy as np
 
+# persistent XLA compile cache: the tracking program compiles in ~100s via the
+# remote-compile tunnel; cache it across bench runs
+import jax
+
+os.makedirs("/tmp/jax_cache", exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 N_FRAMES = int(os.environ.get("BENCH_FRAMES", "120"))
 WARMUP = 8
 BASELINE_FPS = 30.0

