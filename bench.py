@@ -27,7 +27,7 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-N_FRAMES = int(os.environ.get("BENCH_FRAMES", "120"))
+N_FRAMES = int(os.environ.get("BENCH_FRAMES", "100"))
 WARMUP = 8
 BASELINE_FPS = 30.0
 CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
