@@ -153,6 +153,11 @@ void mg_update_connections(void* h, int32_t kf, const int32_t* mp_row,
       if (kv.first != kf && g->kf_alive[kv.first]) counter[kv.first]++;
     }
   }
+  // wholesale replace (the reference rebuilds the connection map each
+  // UpdateConnections): entries whose shared count fell below threshold
+  // after culling/fusion must not linger at stale weights
+  for (auto& kv : g->covis[kf]) g->covis[kv.first].erase(kf);
+  g->covis[kf].clear();
   const int32_t th = 15;
   int32_t best = -1, best_w = 0;
   bool any = false;

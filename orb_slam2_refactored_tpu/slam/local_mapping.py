@@ -505,6 +505,11 @@ class LocalMapper:
                 graph.kill_keyframe(kf)
                 m = self._kill_kf(m, jnp.int32(kf))
                 killed.append(kf)
+                # orphan cascade: points this KF observed may have fallen
+                # below 2 observers
+                m, _ = self.kill_orphan_points(
+                    m, graph, mp_row[obs_feats].tolist()
+                )
         return m, killed
 
     def local_ba(self, m: MapArrays, graph: MapGraph, new_kf: int):
@@ -528,18 +533,47 @@ class LocalMapper:
         old_kf_mp = np.asarray(m.kf_mp)
         outlier = (old_kf_mp >= 0) & ~np.asarray(inlier) & free[:, None]
         m = self._apply(m, kf_pose, pt_pos, jnp.asarray(outlier))
-        self.erase_outlier_obs(graph, old_kf_mp, outlier)
+        touched = self.erase_outlier_obs(graph, old_kf_mp, outlier)
+        m, n_orphaned = self.kill_orphan_points(m, graph, touched)
         return m, {"cost0": float(c0), "cost1": float(c1),
-                   "n_outliers": int(outlier.sum()), "free": int(free.sum())}
+                   "n_outliers": int(outlier.sum()), "free": int(free.sum()),
+                   "n_orphaned": n_orphaned}
 
     def erase_outlier_obs(self, graph: MapGraph, old_kf_mp: np.ndarray,
                           outlier: np.ndarray):
-        """Remove erased observations from the host graph."""
+        """Remove erased observations from the host graph. Returns the set
+        of touched points (candidates for the orphan cascade)."""
         kfs, feats = np.nonzero(outlier)
+        touched = set()
         for k, f in zip(kfs, feats):
             pt = int(old_kf_mp[k, f])
             if pt >= 0:
                 graph.erase_observation(pt, int(k))
+                touched.add(pt)
+        return touched
+
+    def kill_orphan_points(self, m: MapArrays, graph: MapGraph, cand_pts):
+        """SetBadFlag cascade (`/root/reference/src/MapPoint.cc:131-150`:
+        EraseObservation kills a point at nObs<=2, where stereo counts
+        double — i.e. fewer than 2 observing keyframes): after batch
+        erasures, points left with <2 observers die on host AND device, so
+        tracking stops matching landmarks BA can no longer update."""
+        kill, pairs = [], []
+        for pt in {int(p) for p in cand_pts}:
+            if pt >= 0 and graph.pt_alive[pt] and graph.n_obs(pt) < 2:
+                pairs.extend(graph.kill_point(pt))
+                kill.append(pt)
+        if not kill:
+            return m, 0
+        def pad128(v, fill):
+            out = np.full(max(((len(v) + 127) // 128) * 128, 128), fill, np.int32)
+            out[: len(v)] = v
+            return out
+        arr = pad128(kill, m.point_capacity)
+        pk = pad128([p[0] for p in pairs], m.kf_capacity)
+        pf = pad128([p[1] for p in pairs], 0)
+        m = self._cull(m, jnp.asarray(arr), jnp.asarray(pk), jnp.asarray(pf))
+        return m, len(kill)
 
     def triangulate_new_points(self, m: MapArrays, graph: MapGraph, new_kf: int):
         """Create landmarks by triangulating the new KF against its best

@@ -276,6 +276,7 @@ class LoopCloser:
         # ---- fuse matched loop landmark pairs (Replace analog, :615-658) --
         # landmark seen in both: keep the loop-KF one (older, better observed)
         inl = inliers
+        merged_src, merged_dst = [], []
         for a, b, ok in zip(pt_a, pt_b, inl):
             if not ok:
                 continue
@@ -287,16 +288,21 @@ class LoopCloser:
                 if graph.obs_feat_in_kf(b, okf) < 0:
                     graph.add_observation(b, okf, feat, False)
             graph.kill_point(a)
-        # device-side: remap kf_mp entries from a->b and invalidate a
-        remap_src = np.asarray([int(a) for a, ok in zip(pt_a, inl) if ok], np.int32)
-        remap_dst = np.asarray([int(b) for b, ok in zip(pt_b, inl) if ok], np.int32)
+            merged_src.append(a)
+            merged_dst.append(b)
+        # device-side remap mirrors EXACTLY the pairs the host loop merged
+        # (pairs skipped above — self-pairs, dead endpoints — must not
+        # touch device state, or host/device maps diverge)
+        remap_src = np.asarray(merged_src, np.int32)
+        remap_dst = np.asarray(merged_dst, np.int32)
         if len(remap_src):
             lut = jnp.arange(m.point_capacity, dtype=jnp.int32)
             lut = lut.at[remap_src].set(remap_dst)
             kf_mp = m.kf_mp
             kf_mp = jnp.where(kf_mp >= 0, lut[jnp.clip(kf_mp, 0, m.point_capacity - 1)], kf_mp)
+            # destinations are host-alive (checked above), so their device
+            # mp_valid is already True — no resurrection writes
             mp_valid = m.mp_valid.at[remap_src].set(False)
-            mp_valid = mp_valid.at[remap_dst].set(True)
             m = m._replace(kf_mp=kf_mp, mp_valid=mp_valid)
 
         # loop edges recorded both ways (:684-685)

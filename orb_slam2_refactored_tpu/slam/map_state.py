@@ -192,6 +192,12 @@ class MapGraph:
             for other in self.obs.get(int(pt), {}):
                 if other != kf and self.kf_alive[other]:
                     counter[other] = counter.get(other, 0) + 1
+        # wholesale replace (the reference rebuilds the KF's connection map
+        # each UpdateConnections): stale entries whose shared-point count
+        # dropped below threshold after culling/fusion must not linger
+        for other in list(self.covis_weight.get(kf, {})):
+            self.covis_weight.get(other, {}).pop(kf, None)
+        self.covis_weight.pop(kf, None)
         th = 15
         best, best_w = -1, 0
         any_connected = False

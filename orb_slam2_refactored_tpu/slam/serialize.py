@@ -59,9 +59,24 @@ def save_map(tracker: Tracker, path: str):
     )
     pt_first_idx = np.nonzero(pt_alive)[0]
 
+    # place-recognition state: vocabulary + per-KF BoW rows, so a loaded map
+    # can relocalize immediately (the reference reloads ORBvoc.txt at startup;
+    # our vocabulary is live-trained, so it must travel with the map)
+    voc_arrays = {}
+    lc = tracker.loop_closer
+    if lc is not None:
+        voc_arrays = {
+            "voc_words": np.asarray(lc.db.voc.words),
+            "voc_idf": np.asarray(lc.db.voc.idf),
+            "voc_bow": np.asarray(lc.db.bow),
+            "voc_active": lc.db.active,
+            "voc_fix_scale": np.int64(lc.fix_scale),
+        }
+
     np.savez_compressed(
         path,
         **arrays,
+        **voc_arrays,
         graph_obs=obs,
         graph_covis=covis,
         graph_parent=parent,
@@ -114,9 +129,34 @@ def load_map(tracker: Tracker, path: str):
     for k, p in enumerate(z["graph_parent"]):
         if p >= 0:
             g.parent[int(k)] = int(p)
+            # the python backend's children sets don't auto-populate from
+            # parent writes (the native backend's mg_set_parent does);
+            # KF-culling re-parenting needs them
+            if isinstance(getattr(g, "children", None), dict):
+                g.children.setdefault(int(p), set()).add(int(k))
     for a, b in z["graph_loops"]:
         g.loop_edges.setdefault(int(a), set()).add(int(b))
         g.loop_edges.setdefault(int(b), set()).add(int(a))
+
+    # restore place recognition: vocabulary + BoW rows -> a ready LoopCloser,
+    # so the promised "relocalization-ready" contract actually holds (reloc
+    # needs loop_closer.db; lazy creation only happens at keyframe insertion)
+    if "voc_words" in z.files:
+        from ..geometry import projection as proj
+        from .loop_closing import LoopCloser
+        from .vocabulary import Vocabulary
+
+        voc = Vocabulary(words=jnp.asarray(z["voc_words"]),
+                         idf=jnp.asarray(z["voc_idf"]))
+        tracker.vocabulary = voc
+        lc = LoopCloser(
+            voc, tracker.cam, tracker.cfg.map_capacity.max_keyframes,
+            tracker.cfg.n_levels, tracker.cfg.scale_factor,
+            fix_scale=bool(z["voc_fix_scale"]),
+        )
+        lc.db.bow = jnp.asarray(z["voc_bow"])
+        lc.db.active = z["voc_active"].copy()
+        tracker.loop_closer = lc
 
     tracker.pose = z["tracker_pose"]
     tracker.pose_dev = jnp.asarray(tracker.pose)

@@ -637,11 +637,21 @@ class Tracker:
         n_inl = int(pack[14])
         if n_inl < self.cfg.min_inliers_track:
             self.state = TrackState.LOST
-            self._pipeline_pending = None
             self.pose_dev = jnp.asarray(self.pose)  # rewind device state
             self.velocity_dev = jnp.asarray(np.asarray(se3.identity()))
             self.trajectory.append(self.pose.copy())
             self.track_info.append({"inliers": n_inl, "lost": True})
+            # the just-dispatched in-flight frame was predicted from this
+            # (now known-bad) state; its result is discarded, but it still
+            # owns one trajectory slot — TUM export pairs every entry with
+            # a SlamSystem timestamp, so the 1-entry-per-frame invariant
+            # must hold even across a loss
+            if getattr(self, "_pipeline_pending", None) is not None:
+                self._pipeline_pending = None
+                self.trajectory.append(self.pose.copy())
+                self.track_info.append(
+                    {"inliers": 0, "lost": True, "discarded": True}
+                )
             return
         self.pose = pack[0:7]
         self.velocity = pack[7:14]
@@ -787,9 +797,12 @@ class Tracker:
                 self.vocabulary = train_vocabulary(
                     desc, n_words=min(self.cfg.vocab_words, len(desc)), iters=6
                 )
+            # Sim3 scale is observable (and drifts) only in monocular mode;
+            # stereo/RGB-D fix s=1 (`src/LoopClosing.cc` fixScale ctor arg)
             self.loop_closer = LoopCloser(
                 self.vocabulary, self.cam, self.cfg.map_capacity.max_keyframes,
-                self.cfg.n_levels, self.cfg.scale_factor, fix_scale=True,
+                self.cfg.n_levels, self.cfg.scale_factor,
+                fix_scale=self.cfg.bf > 0,
             )
         bow = self.loop_closer.add_keyframe_bow(self.map, slot)
         loop_kf = self.loop_closer.detect(self.map, self.graph, slot, bow)
