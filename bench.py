@@ -101,6 +101,49 @@ def main():
         print(f"[bench] WARNING: ATE {rmse:.3f} m exceeds 5 cm gate",
               file=sys.stderr)
 
+    # ---- per-stage device-time breakdown (tunnel-excluded) ----
+    # Each stage is timed over REPS back-to-back dispatches with one tiny
+    # forced fetch; the tunnel round trip (measured separately) is
+    # subtracted, so these are DEVICE-compute numbers.
+    import jax.numpy as jnp
+
+    def _rt():
+        import jax as _jax
+        f = _jax.jit(lambda a: a + 1)
+        x = jnp.zeros((1,), np.float32)
+        for _ in range(3):
+            np.asarray(f(x))
+        t = time.perf_counter()
+        for _ in range(10):
+            np.asarray(f(x))
+        return (time.perf_counter() - t) / 10
+
+    def _stage(fn, *args, reps=10, rt=0.0):
+        out = fn(*args)
+        np.asarray(jax.tree_util.tree_leaves(out)[0].ravel()[:1])
+        t = time.perf_counter()
+        for _ in range(reps):
+            out = fn(*args)
+        np.asarray(jax.tree_util.tree_leaves(out)[0].ravel()[:1])
+        return (time.perf_counter() - t - rt) / reps
+
+    try:
+        rt = _rt()
+        img_j, dep_j = jnp.asarray(imgs[-1]), jnp.asarray(depths[-1])
+        args = (img_j, dep_j, tracker.last_frame, tracker.last_mp_dev,
+                tracker.map, tracker.pose_dev, tracker.velocity_dev,
+                jnp.int32(max(tracker.ref_kf, 0)),
+                tracker.mp_vis_dev, tracker.mp_found_dev)
+        t_step = _stage(tracker._step, *args, rt=rt)
+        t_prep = _stage(tracker._prepare, img_j, dep_j, rt=rt)
+        print(f"[bench] device: step {t_step*1e3:.1f} ms "
+              f"(extract {t_prep*1e3:.1f} ms), tunnel RT {rt*1e3:.1f} ms",
+              file=sys.stderr)
+        print(f"[bench] keyframe-stage wall times:\n{tracker.timer.report()}",
+              file=sys.stderr)
+    except Exception as e:  # breakdown must never break the metric line
+        print(f"[bench] breakdown failed: {e}", file=sys.stderr)
+
     print(json.dumps({
         "metric": "rgbd_tracking_fps_vga",
         "value": round(fps, 2),

@@ -124,6 +124,43 @@ def undistort_points(cam: CameraIntrinsics, dist: DistCoeffs, uv, iters: int = 8
     )
 
 
+def undistort_points_np(fx, fy, cx, cy, coeffs, uv, iters: int = 8):
+    """Host (numpy) undistortion for init-time work — eager jnp ops through
+    the TPU tunnel compile remotely and are pathologically slow, so static
+    quantities (image bounds) are computed here. coeffs=(k1,k2,p1,p2,k3)."""
+    import numpy as np
+
+    k1, k2, p1, p2, k3 = coeffs
+    uv = np.asarray(uv, np.float64)
+    xn0 = np.stack([(uv[..., 0] - cx) / fx, (uv[..., 1] - cy) / fy], -1)
+    xn = xn0.copy()
+    for _ in range(iters):
+        x, y = xn[..., 0], xn[..., 1]
+        r2 = x * x + y * y
+        radial = 1.0 + k1 * r2 + k2 * r2 * r2 + k3 * r2 ** 3
+        dx = 2.0 * p1 * x * y + p2 * (r2 + 2.0 * x * x)
+        dy = p1 * (r2 + 2.0 * y * y) + 2.0 * p2 * x * y
+        xn = np.stack([(xn0[..., 0] - dx) / radial,
+                       (xn0[..., 1] - dy) / radial], -1)
+    return np.stack([xn[..., 0] * fx + cx, xn[..., 1] * fy + cy], -1)
+
+
+def image_bounds_np(fx, fy, cx, cy, coeffs, width: int, height: int):
+    """Undistorted image bounds from the 4 corners, host-side
+    (`/root/reference/src/System.cc:177-195`). Returns (min_x, max_x,
+    min_y, max_y) python floats (static jit constants)."""
+    import numpy as np
+
+    corners = np.array(
+        [[0.0, 0.0], [width, 0.0], [0.0, height], [width, height]]
+    )
+    und = undistort_points_np(fx, fy, cx, cy, coeffs, corners)
+    return (
+        float(min(und[0, 0], und[2, 0])), float(max(und[1, 0], und[3, 0])),
+        float(min(und[0, 1], und[1, 1])), float(max(und[2, 1], und[3, 1])),
+    )
+
+
 def compute_image_bounds(cam: CameraIntrinsics, dist: DistCoeffs, width: int, height: int):
     """Undistorted image bounds from the 4 corners
     (`/root/reference/src/System.cc:177-195`). Returns (min_x, max_x, min_y, max_y)."""

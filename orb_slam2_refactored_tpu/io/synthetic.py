@@ -81,18 +81,36 @@ class SyntheticScene:
     """Renders gray + depth images from any camera pose (world->camera Tcw)."""
 
     def __init__(self, width=320, height=240, fx=260.0, fy=260.0,
-                 cx=None, cy=None, baseline=0.08, planes=None):
+                 cx=None, cy=None, baseline=0.08, planes=None,
+                 dist_coeffs=(0.0, 0.0, 0.0, 0.0, 0.0)):
+        """`dist_coeffs=(k1,k2,p1,p2,k3)`: renders through a distorting lens —
+        each output pixel's ray comes from undistorting its coordinates, so
+        the image exhibits the radial-tangential warp a real camera would
+        (exercises the frontend's UndistortKeyPoints analog)."""
         self.width, self.height = width, height
         self.fx, self.fy = fx, fy
         self.cx = width / 2.0 if cx is None else cx
         self.cy = height / 2.0 if cy is None else cy
         self.bf = baseline * fx
+        self.dist_coeffs = tuple(dist_coeffs)
         self.planes = planes if planes is not None else box_room()
         u, v = np.meshgrid(np.arange(width), np.arange(height))
-        self._rays = np.stack(
-            [(u - self.cx) / fx, (v - self.cy) / fy, np.ones_like(u, np.float32)],
-            axis=-1,
-        ).astype(np.float32)
+        if any(c != 0.0 for c in self.dist_coeffs):
+            from ..geometry.projection import undistort_points_np
+
+            uv = np.stack([u, v], -1).reshape(-1, 2).astype(np.float64)
+            und = undistort_points_np(fx, fy, self.cx, self.cy,
+                                      self.dist_coeffs, uv, iters=12)
+            xn = ((und[:, 0] - self.cx) / fx).reshape(height, width)
+            yn = ((und[:, 1] - self.cy) / fy).reshape(height, width)
+            self._rays = np.stack(
+                [xn, yn, np.ones_like(xn)], axis=-1
+            ).astype(np.float32)
+        else:
+            self._rays = np.stack(
+                [(u - self.cx) / fx, (v - self.cy) / fy, np.ones_like(u, np.float32)],
+                axis=-1,
+            ).astype(np.float32)
 
     def render(self, pose_cw: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
         """-> (gray f32[H,W], depth f32[H,W]); depth = z in camera frame."""

@@ -103,6 +103,14 @@ class NativeMapGraph:
         self.pt_alive = _PtAlive(self)
         self._scratch_kf = np.zeros(4096, np.int32)
         self._scratch_feat = np.zeros(4096, np.int32)
+        # host mirrors of device kf_mp rows / keypoint levels (each device
+        # read costs a ~30ms tunnel round trip — see map_state.MapGraph)
+        self.kf_row = np.full(
+            (cap.max_keyframes, cap.max_features), -1, np.int32
+        )
+        self.kf_levels = np.zeros(
+            (cap.max_keyframes, cap.max_features), np.int32
+        )
         self.big_change_counter = 0
         self._obs_points: Set[int] = set()
         self.loop_edges = _LoopEdges(self)
@@ -149,9 +157,16 @@ class NativeMapGraph:
     def add_observation(self, pt: int, kf: int, feat: int, is_stereo: bool = False):
         self._lib.mg_add_observation(self._h, int(pt), int(kf), int(feat))
         self._obs_points.add(int(pt))
+        self.kf_row[kf, feat] = pt
 
     def erase_observation(self, pt: int, kf: int):
+        feat = int(self._lib.mg_obs_feat_in_kf(self._h, int(pt), int(kf)))
         self._lib.mg_erase_observation(self._h, int(pt), int(kf))
+        if feat >= 0 and self.kf_row[kf, feat] == pt:
+            self.kf_row[kf, feat] = -1
+
+    def set_levels(self, kf: int, levels: np.ndarray):
+        self.kf_levels[kf] = levels
 
     def n_obs(self, pt: int) -> int:
         return int(self._lib.mg_n_obs(self._h, int(pt)))
@@ -198,11 +213,17 @@ class NativeMapGraph:
             _as_i32_ptr(self._scratch_feat), len(self._scratch_kf),
         )
         self._obs_points.discard(int(pt))
-        return list(zip(self._scratch_kf[:n].tolist(), self._scratch_feat[:n].tolist()))
+        pairs = list(zip(self._scratch_kf[:n].tolist(),
+                         self._scratch_feat[:n].tolist()))
+        for kf, feat in pairs:
+            if self.kf_row[kf, feat] == pt:
+                self.kf_row[kf, feat] = -1
+        return pairs
 
     def kill_keyframe(self, kf: int):
         self._lib.mg_kill_keyframe(self._h, int(kf))
         self.kf_alive[kf] = False
+        self.kf_row[kf] = -1
 
     def redundant_obs(self, kf: int, mp_row: np.ndarray, levels_all: np.ndarray):
         row = np.ascontiguousarray(mp_row, np.int32)

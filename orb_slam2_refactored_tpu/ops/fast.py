@@ -56,13 +56,13 @@ def _arc_min_cascade(vals):
     return jnp.minimum(w8, jnp.roll(m, -8, axis=0))
 
 
-def fast_score_map(img, threshold: float):
-    """FAST-9/16 corner response for every pixel.
+def fast_strength_map(img):
+    """Threshold-free FAST-9/16 arc strength for every pixel.
 
-    Returns f32[H,W]: 0 where not a corner; otherwise a positive score =
-    max over qualifying arcs of min(|I_circle - I_p|) - threshold margin
-    (the arc strength, an analog of OpenCV's max-threshold score used for
-    NMS ordering).
+    f32[H,W]: max over the 16 circular 9-windows of min(|I_circle - I_p|),
+    zeroed outside the 3px border. One evaluation serves every threshold
+    (`score(th) = strength - th`), so the two-threshold detector pays for
+    the 16 shifted planes once.
     """
     img = img.astype(jnp.float32)
     planes = _shifted_planes(img)           # [16,H,W]
@@ -72,14 +72,25 @@ def fast_score_map(img, threshold: float):
     dark_strength = _arc_min_cascade(-d)        # min over 9-window of -d
     s_bright = jnp.max(bright_strength, axis=0)  # best window
     s_dark = jnp.max(dark_strength, axis=0)
-    score = jnp.maximum(s_bright, s_dark) - threshold
-    is_corner = score > 0
+    strength = jnp.maximum(s_bright, s_dark)
 
     h, w = img.shape
     yy = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
     xx = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
     border = (yy >= 3) & (yy < h - 3) & (xx >= 3) & (xx < w - 3)
-    return jnp.where(is_corner & border, score, 0.0)
+    return jnp.where(border, strength, 0.0)
+
+
+def fast_score_map(img, threshold: float):
+    """FAST-9/16 corner response for every pixel.
+
+    Returns f32[H,W]: 0 where not a corner; otherwise a positive score =
+    max over qualifying arcs of min(|I_circle - I_p|) - threshold margin
+    (the arc strength, an analog of OpenCV's max-threshold score used for
+    NMS ordering).
+    """
+    s = fast_strength_map(img) - threshold
+    return jnp.where(s > 0, s, 0.0)
 
 
 def nms3x3(score):
@@ -111,11 +122,13 @@ def detect_two_threshold(img, ini_th: float, min_th: float, cell: int = 30):
     """Two-threshold FAST with per-cell fallback + 3x3 NMS.
 
     Semantics of `DetectFAST` (`/root/reference/src/ORBextractor.cc:489-540`):
-    detect at `ini_th`; cells where nothing fired retry at `min_th`.
+    detect at `ini_th`; cells where nothing fired retry at `min_th`. The
+    16-plane strength computes ONCE; both thresholds derive from it.
     Returns f32[H,W] response map (0 = no corner).
     """
-    hi = fast_score_map(img, ini_th)
-    lo = fast_score_map(img, min_th)
+    s = fast_strength_map(img)
+    hi = jnp.maximum(s - ini_th, 0.0)
+    lo = jnp.maximum(s - min_th, 0.0)
     has_hi = cell_pool_any(hi > 0, cell)
     score = jnp.where(has_hi, hi, lo)
     return nms3x3(score)

@@ -19,8 +19,11 @@ TH_HIGH = 100
 BIG = 10_000  # sentinel distance for masked-out candidates (> 256 max)
 
 
-_PALLAS_OK = None  # lazy probe: TPU-only tiled kernel (8x on big matrices)
-_PALLAS_MIN_ELEMS = 1 << 20
+_PALLAS_OK = None  # lazy probe: TPU-only tiled kernel (wins on big matrices)
+# measured crossover on TPU v5e: XLA's fused xor+popcount wins below ~8M
+# output elements (0.3ms @ 1M); the tiled Pallas kernel wins above
+# (0.66ms vs 1.45ms @ 32M)
+_PALLAS_MIN_ELEMS = 8 << 20
 
 
 def _pallas_usable() -> bool:

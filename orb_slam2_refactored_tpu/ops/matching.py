@@ -154,6 +154,41 @@ def search_by_projection(
     return Matches(jnp.where(keep, idx, -1), best, keep)
 
 
+def search_by_projection_with_vis(*args, **kwargs):
+    """`search_by_projection` variant that also returns the per-point
+    frustum-visibility mask (the IncreaseVisible signal of
+    `src/Tracking.cc:607-649` SearchLocalPoints)."""
+    return _search_by_projection_inner(*args, **kwargs)
+
+
+def _search_by_projection_inner(
+    frame_xy, frame_level, frame_desc, frame_valid,
+    mp_pos, mp_desc, mp_normal, mp_min_dist, mp_max_dist, mp_valid,
+    pose_cw, cam, scale_factors, radius=4.0, max_dist=hamming.TH_HIGH,
+    check_view_angle=True, image_bounds=None,
+):
+    res = search_by_projection(
+        frame_xy, frame_level, frame_desc, frame_valid,
+        mp_pos, mp_desc, mp_normal, mp_min_dist, mp_max_dist, mp_valid,
+        pose_cw, cam, scale_factors, radius=radius, max_dist=max_dist,
+        check_view_angle=check_view_angle, image_bounds=image_bounds,
+    )
+    # recompute the cheap frustum predicate (XLA CSEs it with the main call)
+    xc = se3.transform(pose_cw, mp_pos)
+    uv = proj.project(cam, xc)
+    vis = mp_valid & (xc[..., 2] > 0.05)
+    if image_bounds is not None:
+        min_x, max_x, min_y, max_y = image_bounds
+        vis = vis & (
+            (uv[..., 0] >= min_x) & (uv[..., 0] < max_x)
+            & (uv[..., 1] >= min_y) & (uv[..., 1] < max_y)
+        )
+    cam_center = se3.translation(se3.inverse(pose_cw))
+    dist = jnp.linalg.norm(mp_pos - cam_center[None, :], axis=-1)
+    vis = vis & (dist >= mp_min_dist * 0.8) & (dist <= mp_max_dist * 1.2)
+    return res, vis
+
+
 def search_last_frame(
     curr_xy,
     curr_level,

@@ -44,6 +44,11 @@ class BAProblem(NamedTuple):
     obs_inv_s2: jnp.ndarray  # f32[K,N]
     pt_pos: jnp.ndarray     # f32[P,3]
     pt_valid: jnp.ndarray   # bool[P]
+    # bool[P] landmarks held fixed (window BA: points also observed by
+    # keyframes outside the window — the analog of g2o's fixed frontier
+    # cameras, src/Optimizer.cc:526-537, seen from the point side). None ->
+    # all landmarks free.
+    pt_frozen: jnp.ndarray = None
 
 
 class BAResult(NamedTuple):
@@ -175,6 +180,11 @@ def _ba_solve_f32(p, cam, iters, cg_iters, use_huber, chi2_gate, axis_name,
         dl_diag = jnp.diagonal(Hll, axis1=1, axis2=2)
         Hll_d = Hll + (lam * dl_diag + 1e-6)[:, :, None] * eye3[None]
         G = jnp.linalg.inv(Hll_d + 1e-9 * eye3[None])  # [P,3,3]
+        if p.pt_frozen is not None:
+            # frozen landmarks are excluded from the Schur elimination: G=0
+            # removes their -U G U^T term (they act as constants in the
+            # reduced camera system) and forces dl=0 in back-substitution
+            G = jnp.where(p.pt_frozen[:, None, None], 0.0, G)
 
         # W_obs = JpW^T Jl per obs: [K,N,6,3]
         W_obs = jnp.einsum("knci,kncj->knij", JpW, Jl)

@@ -36,7 +36,29 @@ from .frame import scale_factors
 from .map_state import INVALID, MapArrays, MapGraph
 
 
+
+
+def _pad_bucket(v, fill, min_size: int = 512):
+    """Pad an index list into a power-of-2-bucketed i32 array.
+
+    Shape variety is compile variety: every distinct padded length compiles a
+    fresh program through the (slow, remote) TPU toolchain, so buckets grow
+    geometrically from a generous floor instead of rounding to the next 128.
+    """
+    n = max(int(len(v)), 1)
+    size = min_size
+    while size < n:
+        size *= 2
+    out = np.full(size, fill, np.int32)
+    out[: len(v)] = v
+    return out
+
+
 class LocalMapper:
+    # total window rows in the compacted local-BA problem: free KFs
+    # (1 + `window` covisibles) + fixed frontier, padded to a static shape
+    BA_WINDOW = 32
+
     def __init__(self, cam: proj.CameraIntrinsics, n_levels: int,
                  scale_factor: float, ba_iters: int = 6, cg_iters: int = 30,
                  window: int = 12, lambda0: float = 1e-4, min_kfs: int = 2,
@@ -48,24 +70,35 @@ class LocalMapper:
         sf, sigma2, inv_sigma2 = scale_factors(n_levels, scale_factor)
         self.sf = sf
         self.inv_sigma2 = inv_sigma2
+        # no donation: callers (tests, GBA snapshots) may hold references
+        # into the pre-BA map arrays
         self._ba = jax.jit(
-            lambda m, free: self._ba_impl(m, free, ba_iters, cg_iters, lambda0)
+            lambda m, wi, wf, wv: self._ba_impl(
+                m, wi, wf, wv, ba_iters, cg_iters, lambda0
+            )
         )
-        self._apply = jax.jit(self._apply_impl, donate_argnums=(0,))
         self._cull = jax.jit(self._cull_impl, donate_argnums=(0,))
         self._tri = jax.jit(self._triangulate_impl)
         def _tri_pack(m, kf, nbs):
             xw, idx_b, good = jax.vmap(
                 lambda nb: self._triangulate_impl(m, kf, nb)
             )(nbs)
-            # one packed transfer (each device->host round trip costs ~27ms
-            # through the tunnel)
-            return jnp.concatenate(
-                [xw, idx_b[..., None].astype(jnp.float32),
-                 good[..., None].astype(jnp.float32)], -1,
-            )
+            # host only needs (idx_b, good) for slot allocation + graph
+            # bookkeeping — ONE small transfer; the triangulated positions
+            # stay device-resident and feed _tri_insert_all directly
+            small = jnp.stack([idx_b, good.astype(jnp.int32)], -1)  # [B,N,2]
+            return small, idx_b, xw
 
         self._tri_batch = jax.jit(_tri_pack)
+
+        def _tri_insert_all(m, kf_a, nbs, slots_all, idx_all, xw_all):
+            for b in range(self.tri_neighbors):
+                m = self._tri_insert_impl(
+                    m, kf_a, nbs[b], slots_all[b], idx_all[b], xw_all[b]
+                )
+            return m
+
+        self._tri_insert_all = jax.jit(_tri_insert_all, donate_argnums=(0,))
 
         def _fuse_pack(m, srcs, dsts):
             idx, dst_pt, keep, src_mp = jax.vmap(
@@ -80,28 +113,59 @@ class LocalMapper:
 
     # -- jitted programs -------------------------------------------------
 
-    def _ba_impl(self, m: MapArrays, free_mask, iters, cg_iters, lambda0):
+    def _ba_impl(self, m: MapArrays, win_idx, win_free, win_valid,
+                 iters, cg_iters, lambda0):
+        """Window-compacted local BA with fused write-back.
+
+        The reference's LocalBundleAdjustment builds a g2o graph over the
+        covisibility window plus a fixed frontier (`src/Optimizer.cc:491-736`).
+        Round 1 ran BA over the FULL padded [K,N] capacity, which cost ~320ms
+        device time at K=128; gathering the W=32 window rows cuts the
+        Jacobian/scatter work ~4x while keeping the whole solve + application
+        in ONE dispatch (no host round trips).
+
+        win_idx: i32[W] keyframe slots; padding rows use slot=K (OOB, dropped
+        on scatter) with win_valid=False. win_free: rows optimized; fixed
+        rows are the frontier. Points observed by any valid KF OUTSIDE the
+        window are frozen (the point-side analog of fixed frontier cameras).
+        Returns (new_map, outlier_mask[K,N], cost0, cost1).
+        """
+        K, N = m.kf_mp.shape
+        P = m.point_capacity
+        gather = jnp.clip(win_idx, 0, K - 1)
+        obs_pt = jnp.where(win_valid[:, None], m.kf_mp[gather], INVALID)
+
+        in_win = jnp.zeros((K,), bool).at[gather].max(win_valid)
+        outside_obs = (m.kf_mp >= 0) & (~in_win & m.kf_valid)[:, None]
+        pt_frozen = jnp.zeros((P,), bool).at[
+            jnp.clip(m.kf_mp, 0, P - 1).reshape(-1)
+        ].max(outside_obs.reshape(-1))
+
         prob = BAProblem(
-            kf_pose=m.kf_pose,
-            kf_fixed=~free_mask,
-            obs_uv=m.kf_xy,
-            obs_ur=m.kf_uright,
-            obs_pt=m.kf_mp,
-            obs_inv_s2=self.inv_sigma2[m.kf_level],
+            kf_pose=m.kf_pose[gather],
+            kf_fixed=~(win_free & win_valid),
+            obs_uv=m.kf_xy[gather],
+            obs_ur=m.kf_uright[gather],
+            obs_pt=obs_pt,
+            obs_inv_s2=self.inv_sigma2[m.kf_level[gather]],
             pt_pos=m.mp_pos,
             pt_valid=m.mp_valid,
+            pt_frozen=pt_frozen,
         )
         res = ba_solve(prob, self.cam, iters=iters, cg_iters=cg_iters,
                        lambda0=lambda0)
-        return res.kf_pose, res.pt_pos, res.obs_inlier, res.initial_cost, res.final_cost
 
-    def _apply_impl(self, m: MapArrays, kf_pose, pt_pos, outlier):
-        """Write BA results back + erase outlier observations."""
-        return m._replace(
-            kf_pose=kf_pose,
-            mp_pos=pt_pos,
+        # scatter window poses back (padding scatters to row K -> dropped)
+        scatter = jnp.where(win_valid & win_free, win_idx, K)
+        new_kf_pose = m.kf_pose.at[scatter].set(res.kf_pose, mode="drop")
+        out_w = (obs_pt >= 0) & ~res.obs_inlier & win_free[:, None]
+        outlier = jnp.zeros((K, N), bool).at[scatter].max(out_w, mode="drop")
+        m = m._replace(
+            kf_pose=new_kf_pose,
+            mp_pos=res.pt_pos,
             kf_mp=jnp.where(outlier, INVALID, m.kf_mp),
         )
+        return m, outlier, res.initial_cost, res.final_cost
 
     def _cull_impl(self, m: MapArrays, kill, pair_kf, pair_feat):
         """kill: i32[B] point slots; (pair_kf, pair_feat): observation cells
@@ -293,18 +357,20 @@ class LocalMapper:
             kf_mp=m.kf_mp.at[kf].set(INVALID),
         )
 
-    def _set_obs_impl(self, m: MapArrays, kf, feats, pts):
-        """Record new observations kf_mp[kf, feats] = pts (drop-padded)."""
-        return m._replace(kf_mp=m.kf_mp.at[kf, feats].max(pts, mode="drop"))
-
-    def _remap_points_impl(self, m: MapArrays, src, dst):
-        """Replace() analog: every kf_mp reference to src becomes dst."""
+    def _fuse_apply_impl(self, m: MapArrays, add_kf, add_feat, add_pt,
+                         rm_src, rm_dst):
+        """Apply ALL fusion results in one program: new observations
+        (kf_mp[add_kf, add_feat] = add_pt) and duplicate-landmark merges
+        (every reference to rm_src becomes rm_dst; rm_src dies). Arrays are
+        padded with out-of-range values (mode='drop'). rm_dst must be
+        chain-resolved by the caller."""
+        kf_mp = m.kf_mp.at[add_kf, add_feat].max(add_pt, mode="drop")
         lut = jnp.arange(m.point_capacity, dtype=jnp.int32)
-        lut = lut.at[src].set(dst, mode="drop")
+        lut = lut.at[rm_src].set(rm_dst, mode="drop")
         kf_mp = jnp.where(
-            m.kf_mp >= 0, lut[jnp.clip(m.kf_mp, 0, m.point_capacity - 1)], m.kf_mp
+            kf_mp >= 0, lut[jnp.clip(kf_mp, 0, m.point_capacity - 1)], kf_mp
         )
-        mp_valid = m.mp_valid.at[src].set(False, mode="drop")
+        mp_valid = m.mp_valid.at[rm_src].set(False, mode="drop")
         return m._replace(kf_mp=kf_mp, mp_valid=mp_valid)
 
     MAXOBS = 8  # observers considered per point for descriptor/normal refresh
@@ -376,7 +442,7 @@ class LocalMapper:
         """Refresh stats of every multi-observation point seen by the new KF."""
         if not hasattr(self, "_refresh"):
             self._refresh = jax.jit(self._refresh_points_impl, donate_argnums=(0,))
-        row = np.asarray(m.kf_mp[new_kf])
+        row = graph.kf_row[new_kf]
         cand = [int(p) for p in row[row >= 0] if graph.n_obs(int(p)) >= 2]
         if not cand:
             return m
@@ -406,8 +472,7 @@ class LocalMapper:
         new KF's landmarks into its covisible ring and vice versa."""
         if not hasattr(self, "_kill_kf"):
             self._kill_kf = jax.jit(self._kill_kf_impl, donate_argnums=(0,))
-            self._set_obs = jax.jit(self._set_obs_impl, donate_argnums=(0,))
-            self._remap_points = jax.jit(self._remap_points_impl, donate_argnums=(0,))
+            self._fuse_apply = jax.jit(self._fuse_apply_impl, donate_argnums=(0,))
         neighbors = graph.covis_neighbors(new_kf, top_k=n_neighbors)
         if not neighbors:
             return m, {"merged": 0, "added": 0}
@@ -419,12 +484,18 @@ class LocalMapper:
         dsts = np.full(B, new_kf, np.int32)  # self-pair -> no fusable features
         for i, (a, b) in enumerate(pairs[:B]):
             srcs[i], dsts[i] = a, b
-        packed = np.asarray(self._fuse_batch(m, jnp.asarray(srcs), jnp.asarray(dsts)))
+        packed_dev = self._fuse_batch(m, jnp.asarray(srcs), jnp.asarray(dsts))
+        packed_dev.copy_to_host_async()
+        packed = np.asarray(packed_dev)
         idx_all = packed[..., 0]
         dst_pt_all = packed[..., 1]
         keep_all = packed[..., 2] > 0
         src_mp_all = packed[..., 3]
         n_merged = n_added = 0
+        # collect every host-graph decision, then apply ALL device writes in
+        # one program (per-pair dispatches cost a tunnel round trip each)
+        add_kf, add_feat, add_pt = [], [], []
+        merge_src, merge_dst = [], []
         for bi, (a, b) in enumerate(pairs[:B]):
             if a == b:
                 continue  # padding self-pair
@@ -432,8 +503,6 @@ class LocalMapper:
             dst_pt = dst_pt_all[bi]
             keep = keep_all[bi]
             src_mp = src_mp_all[bi]
-            add_feats, add_pts = [], []
-            merge_src, merge_dst = [], []
             for f_src in np.nonzero(keep)[0]:
                 p_src = int(src_mp[f_src])
                 f_dst = int(idx[f_src])
@@ -444,8 +513,9 @@ class LocalMapper:
                     # dst feature has no landmark: add observation
                     if graph.obs_feat_in_kf(p_src, int(b)) < 0:
                         graph.add_observation(p_src, int(b), f_dst, False)
-                        add_feats.append(f_dst)
-                        add_pts.append(p_src)
+                        add_kf.append(int(b))
+                        add_feat.append(f_dst)
+                        add_pt.append(p_src)
                         n_added += 1
                 elif p_dst != p_src and graph.pt_alive[p_dst]:
                     # duplicate landmark: keep the better-observed one
@@ -460,22 +530,26 @@ class LocalMapper:
                     merge_src.append(lo)
                     merge_dst.append(hi)
                     n_merged += 1
-            if add_feats:
-                pad = ((len(add_feats) + 127) // 128) * 128
-                fa = np.full(pad, m.kf_mp.shape[1], np.int32)  # OOB feature -> drop
-                pa = np.full(pad, INVALID, np.int32)
-                fa[: len(add_feats)] = add_feats
-                pa[: len(add_pts)] = add_pts
-                m = self._set_obs(m, jnp.int32(b), jnp.asarray(fa), jnp.asarray(pa))
-            if merge_src:
-                pad = ((len(merge_src) + 127) // 128) * 128
-                sa = np.full(pad, m.point_capacity, np.int32)
-                da = np.full(pad, m.point_capacity, np.int32)
-                sa[: len(merge_src)] = merge_src
-                da[: len(merge_dst)] = merge_dst
-                m = self._remap_points(m, jnp.asarray(sa), jnp.asarray(da))
         if n_merged or n_added:
-            graph.update_connections(new_kf, np.asarray(m.kf_mp[new_kf]))
+            # resolve merge chains (x->y then y->z must land on z, matching
+            # the sequential host merges above)
+            remap = dict(zip(merge_src, merge_dst))
+            def _resolve(d):
+                while d in remap:
+                    d = remap[d]
+                return d
+            merge_dst = [_resolve(d) for d in merge_dst]
+
+            nmax = max(len(add_kf), len(merge_src))
+            m = self._fuse_apply(
+                m,
+                jnp.asarray(_pad_bucket(add_kf, m.kf_capacity, 512 if nmax <= 512 else 2048)),
+                jnp.asarray(_pad_bucket(add_feat, 0, 512 if nmax <= 512 else 2048)),
+                jnp.asarray(_pad_bucket(add_pt, INVALID, 512 if nmax <= 512 else 2048)),
+                jnp.asarray(_pad_bucket(merge_src, m.point_capacity, 512 if nmax <= 512 else 2048)),
+                jnp.asarray(_pad_bucket(merge_dst, m.point_capacity, 512 if nmax <= 512 else 2048)),
+            )
+            graph.update_connections(new_kf, graph.kf_row[new_kf])
         return m, {"merged": n_merged, "added": n_added}
 
     def cull_keyframes(self, m: MapArrays, graph: MapGraph, new_kf: int):
@@ -489,11 +563,11 @@ class LocalMapper:
                  if kf != graph.origin_kf and kf != new_kf]
         if not cands:
             return m, killed
-        # one bulk transfer instead of per-candidate row reads
-        kf_level = np.asarray(m.kf_level)
-        kf_mp_all = np.asarray(m.kf_mp)
+        # host mirrors: zero device reads in the culling decision
+        kf_level = graph.kf_levels
         for kf in cands:
-            mp_row = kf_mp_all[kf]
+            # copy: erase_observation mutates the kf_row mirror in place
+            mp_row = graph.kf_row[kf].copy()
             obs_feats = np.nonzero(mp_row >= 0)[0]
             if len(obs_feats) < 20:
                 continue
@@ -502,41 +576,92 @@ class LocalMapper:
                 # detach observations, repair spanning tree, free the row
                 for f in obs_feats:
                     graph.erase_observation(int(mp_row[f]), kf)
+                parent = int(graph.parent[kf])
                 graph.kill_keyframe(kf)
                 m = self._kill_kf(m, jnp.int32(kf))
-                killed.append(kf)
+                killed.append((kf, parent))
                 # orphan cascade: points this KF observed may have fallen
                 # below 2 observers
                 m, _ = self.kill_orphan_points(
                     m, graph, mp_row[obs_feats].tolist()
                 )
-        return m, killed
+        if killed:
+            # record Tcp = Tc_w * Tw_parent at cull time so culled reference
+            # KFs stay walkable in trajectory export (KeyFrame::SetBadFlag
+            # stores mTcp, src/KeyFrame.cc:464; used src/System.cc:725-734).
+            # ONE batched device eval + ONE small transfer.
+            if not hasattr(self, "_tcp"):
+                self._tcp = jax.jit(lambda mm, a, b: se3.compose(
+                    mm.kf_pose[a], se3.inverse(mm.kf_pose[b])))
+            # fixed pad: one compiled variant regardless of kill count
+            PAD = 16
+            ks_np = np.zeros(PAD, np.int32)
+            ps_np = np.zeros(PAD, np.int32)
+            for i, (k, p) in enumerate(killed[:PAD]):
+                ks_np[i], ps_np[i] = k, max(p, 0)
+            tcp = np.asarray(self._tcp(m, jnp.asarray(ks_np), jnp.asarray(ps_np)))
+            if not hasattr(graph, "kf_tcp"):
+                graph.kf_tcp = {}
+            for i, (k, p) in enumerate(killed[:PAD]):
+                graph.kf_tcp[k] = (p, tcp[i])
+        return m, [k for k, _ in killed]
 
     def local_ba(self, m: MapArrays, graph: MapGraph, new_kf: int):
-        """Free set = new KF + covisible window (origin stays fixed as gauge
-        unless deep in the window). Returns the updated MapArrays."""
+        """Window BA: free set = new KF + covisible window; fixed frontier =
+        their covisible ring (the reference's fixed observers,
+        `src/Optimizer.cc:493-537`); points shared with KFs outside the
+        window are frozen inside the program. ONE device dispatch, ONE
+        device->host read (the outlier mask, requested async)."""
         if len(graph.alive_kfs()) < self.min_kfs:
             return m, None
-        free = np.zeros(graph.cap.max_keyframes, bool)
-        free[new_kf] = True
-        for j in graph.covis_neighbors(new_kf, top_k=self.window):
-            free[j] = True
-        # gauge: keep at least one alive KF fixed
-        alive = graph.kf_alive.copy()
-        if (alive & ~free).sum() == 0:
-            free[graph.origin_kf] = False
-        if free.sum() == 0 or (alive & free).sum() == 0:
-            return m, None
-        kf_pose, pt_pos, inlier, c0, c1 = self._ba(m, jnp.asarray(free))
+        W = self.BA_WINDOW
+        K = graph.cap.max_keyframes
+        free_list = [new_kf] + graph.covis_neighbors(new_kf, top_k=self.window)
+        free_list = free_list[:W - 1]  # always leave room for one fixed row
+        seen = set(free_list)
+        frontier = []
+        for k in free_list:
+            for nb in graph.covis_neighbors(int(k)):
+                if nb not in seen:
+                    seen.add(nb)
+                    frontier.append(nb)
+                    if len(free_list) + len(frontier) >= W:
+                        break
+            if len(free_list) + len(frontier) >= W:
+                break
+        # gauge: at least one fixed row among alive KFs
+        if not frontier:
+            if graph.origin_kf in free_list and len(free_list) > 1:
+                free_list.remove(graph.origin_kf)
+                frontier = [graph.origin_kf]
+            elif len(free_list) > 1:
+                frontier = [free_list.pop()]
+            else:
+                return m, None
+        win_idx = np.full(W, K, np.int32)      # K = OOB padding (dropped)
+        win_free = np.zeros(W, bool)
+        win_valid = np.zeros(W, bool)
+        n_f = len(free_list)
+        win_idx[:n_f] = free_list
+        win_free[:n_f] = True
+        win_valid[:n_f] = True
+        win_idx[n_f:n_f + len(frontier)] = frontier
+        win_valid[n_f:n_f + len(frontier)] = True
+
+        old_rows = graph.kf_row.copy()
+        m, outlier_dev, c0, c1 = self._ba(
+            m, jnp.asarray(win_idx), jnp.asarray(win_free),
+            jnp.asarray(win_valid),
+        )
+        for x in (outlier_dev, c0, c1):
+            x.copy_to_host_async()
         # outliers = observations of FREE frames that fail the chi2 gate
         # (the reference erases only window edges, src/Optimizer.cc:677-716)
-        old_kf_mp = np.asarray(m.kf_mp)
-        outlier = (old_kf_mp >= 0) & ~np.asarray(inlier) & free[:, None]
-        m = self._apply(m, kf_pose, pt_pos, jnp.asarray(outlier))
-        touched = self.erase_outlier_obs(graph, old_kf_mp, outlier)
+        outlier = np.asarray(outlier_dev)
+        touched = self.erase_outlier_obs(graph, old_rows, outlier)
         m, n_orphaned = self.kill_orphan_points(m, graph, touched)
         return m, {"cost0": float(c0), "cost1": float(c1),
-                   "n_outliers": int(outlier.sum()), "free": int(free.sum()),
+                   "n_outliers": int(outlier.sum()), "free": n_f,
                    "n_orphaned": n_orphaned}
 
     def erase_outlier_obs(self, graph: MapGraph, old_kf_mp: np.ndarray,
@@ -565,13 +690,9 @@ class LocalMapper:
                 kill.append(pt)
         if not kill:
             return m, 0
-        def pad128(v, fill):
-            out = np.full(max(((len(v) + 127) // 128) * 128, 128), fill, np.int32)
-            out[: len(v)] = v
-            return out
-        arr = pad128(kill, m.point_capacity)
-        pk = pad128([p[0] for p in pairs], m.kf_capacity)
-        pf = pad128([p[1] for p in pairs], 0)
+        arr = _pad_bucket(kill, m.point_capacity)
+        pk = _pad_bucket([p[0] for p in pairs], m.kf_capacity)
+        pf = _pad_bucket([p[1] for p in pairs], 0)
         m = self._cull(m, jnp.asarray(arr), jnp.asarray(pk), jnp.asarray(pf))
         return m, len(kill)
 
@@ -587,14 +708,16 @@ class LocalMapper:
         B = self.tri_neighbors
         nbs = np.full(B, new_kf, np.int32)  # self-pair produces no free pairs
         nbs[: len(neighbors)] = neighbors[:B]
-        packed = np.asarray(
-            self._tri_batch(m, jnp.int32(new_kf), jnp.asarray(nbs))
-        )
-        xw_b = packed[..., :3]
-        idx_b_b = packed[..., 3].astype(np.int32)
-        good_b = packed[..., 4] > 0.5
+        nbs_j = jnp.asarray(nbs)
+        small, idx_dev, xw_dev = self._tri_batch(m, jnp.int32(new_kf), nbs_j)
+        small.copy_to_host_async()
+        packed = np.asarray(small)  # [B,N,2]: (idx_b, good)
+        idx_b_b = packed[..., 0]
+        good_b = packed[..., 1] > 0
         n_created = 0
-        taken = np.zeros(good_b.shape[1], bool)  # feature of new_kf already used
+        N = good_b.shape[1]
+        slots_all = np.full((B, N), -1, np.int32)
+        taken = np.zeros(N, bool)  # feature of new_kf already used
         for bi in range(min(len(neighbors), B)):
             nb = int(nbs[bi])
             if nb == new_kf:
@@ -604,12 +727,7 @@ class LocalMapper:
                 continue
             taken[feats] = True
             new_slots = graph.alloc_point_slots(len(feats))
-            slots = np.full(good_b.shape[1], -1, np.int32)
-            slots[feats] = new_slots
-            m = self._tri_insert(
-                m, jnp.int32(new_kf), jnp.int32(nb), jnp.asarray(slots),
-                jnp.asarray(idx_b_b[bi]), jnp.asarray(xw_b[bi]),
-            )
+            slots_all[bi, feats] = new_slots
             for f, s in zip(feats, new_slots):
                 s = int(s)
                 graph.pt_alive[s] = True
@@ -618,13 +736,29 @@ class LocalMapper:
                 graph.add_observation(s, int(nb), int(idx_b_b[bi][f]), False)
             n_created += len(feats)
         if n_created:
-            graph.update_connections(new_kf, np.asarray(m.kf_mp[new_kf]))
+            # ONE scatter program inserts every neighbor's new points; the
+            # triangulated positions never leave the device
+            m = self._tri_insert_all(
+                m, jnp.int32(new_kf), nbs_j, jnp.asarray(slots_all),
+                idx_dev, xw_dev,
+            )
+            graph.update_connections(new_kf, graph.kf_row[new_kf])
         return m, n_created
 
     def cull_points(self, m: MapArrays, graph: MapGraph, new_kf: int,
-                    min_obs: int = 3, age: int = 2):
+                    min_obs: int = 3, age: int = 2, vis_found=None):
         """Young points (first seen within `age` KFs) with too few
-        observations die (MapPointCulling semantics)."""
+        observations die; so do recent points whose found/visible ratio
+        drops below 0.25 (MapPointCulling, src/LocalMapping.cc:335-369 +
+        MapPoint::GetFoundRatio, src/MapPoint.cc:322-339).
+
+        vis_found: optional (visible, found) device i32[P] counter pair
+        maintained by the tracker's fused step program."""
+        ratio = None
+        if vis_found is not None:
+            packed = np.asarray(jnp.stack(list(vis_found)))  # ONE transfer
+            vis, found = packed[0], packed[1]
+            ratio = found / np.maximum(vis, 1)
         kill: List[int] = []
         for pt in graph.points_with_obs():
             if not graph.pt_alive[pt]:
@@ -637,18 +771,16 @@ class LocalMapper:
             pt_age = new_kf - first
             if age < pt_age <= age + 2 and graph.n_obs(pt) < min_obs:
                 kill.append(pt)
+            elif (ratio is not None and pt_age <= age + 2
+                  and vis[pt] >= 4 and ratio[pt] < 0.25):
+                kill.append(pt)
         if not kill:
             return m, 0
         pairs = []
         for pt in kill:
             pairs.extend(graph.kill_point(pt))
-        arr = np.full(((len(kill) + 127) // 128) * 128, m.point_capacity, np.int32)
-        arr[: len(kill)] = kill
-        def pad128(v, fill):
-            out = np.full(((len(v) + 127) // 128) * 128, fill, np.int32)
-            out[: len(v)] = v
-            return out
-        pk = pad128([p[0] for p in pairs], m.kf_capacity)
-        pf = pad128([p[1] for p in pairs], 0)
+        arr = _pad_bucket(kill, m.point_capacity)
+        pk = _pad_bucket([p[0] for p in pairs], m.kf_capacity)
+        pf = _pad_bucket([p[1] for p in pairs], 0)
         m = self._cull(m, jnp.asarray(arr), jnp.asarray(pk), jnp.asarray(pf))
         return m, len(kill)

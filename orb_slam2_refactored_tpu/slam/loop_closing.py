@@ -66,6 +66,7 @@ class LoopCloser:
         self.last_loop_kf = -1
         self.loops_closed = 0
         self._match_kfs = jax.jit(self._match_kfs_impl)
+        self._sim3_refine = jax.jit(self._sim3_refine_impl)
         self._gba = jax.jit(self._gba_impl)
 
     # ------------------------------------------------------------------
@@ -137,8 +138,73 @@ class LoopCloser:
         xb = se3.transform(m.kf_pose[kf_b], m.mp_pos[pt_b])
         return xa, xb, pt_a, pt_b, mm.valid
 
+    def _sim3_refine_impl(self, m: MapArrays, kf_a, kf_b, S0):
+        """Guided Sim3 matching + relative-Sim3 refinement.
+
+        SearchBySim3 (`/root/reference/src/ORBmatcher.cc:1090-1277`): project
+        each KF's landmarks through S0 (resp. S0^-1) into the OTHER image,
+        window-match at the predicted scale, keep mutually-agreeing pairs.
+        Then OptimizeSim3 (`src/Optimizer.cc:944-1100`) refines S0 over the
+        paired reprojections. Returns per-b-feature pair arrays.
+        """
+        from ..optim.sim3_opt import optimize_sim3
+        from ..ops import hamming
+
+        P = m.point_capacity
+        mp_a, mp_b = m.kf_mp[kf_a], m.kf_mp[kf_b]
+        pa = jnp.clip(mp_a, 0, P - 1)
+        pb = jnp.clip(mp_b, 0, P - 1)
+        ok_a = (mp_a >= 0) & m.kf_feat_valid[kf_a] & m.mp_valid[pa]
+        ok_b = (mp_b >= 0) & m.kf_feat_valid[kf_b] & m.mp_valid[pb]
+        xa = se3.transform(m.kf_pose[kf_a], m.mp_pos[pa])  # a-cam, per a-feat
+        xb = se3.transform(m.kf_pose[kf_b], m.mp_pos[pb])
+        lvl_a, lvl_b = m.kf_level[kf_a], m.kf_level[kf_b]
+        sf = self._sf_arr
+
+        def guided(x_src, ok_src, desc_src, xy_dst, lvl_dst, ok_dst,
+                   desc_dst, S):
+            """Project src-cam points through S into dst image; window-match.
+            Returns per-src best dst feature (or -1)."""
+            xc = sim3.transform(S, x_src)
+            uv = proj.project(self.cam, xc)
+            in_front = xc[:, 2] > 0.05
+            dist = jnp.linalg.norm(xc, axis=-1)
+            # predicted octave from distance (SearchBySim3 radius semantics)
+            r = 7.5 * sf[jnp.clip(lvl_dst, 0, sf.shape[0] - 1)]  # [Nd]
+            d2 = jnp.sum((uv[:, None, :] - xy_dst[None, :, :]) ** 2, -1)
+            win = d2 <= (r[None, :] ** 2)
+            mask = (ok_src & in_front)[:, None] & ok_dst[None, :] & win
+            d = hamming.hamming_matrix(desc_src, desc_dst)
+            idx, best, _ = hamming.masked_best2(d, mask)
+            return jnp.where(
+                ok_src & in_front & (best <= hamming.TH_HIGH), idx, -1
+            )
+
+        S0_inv = sim3.inverse(S0)
+        b_to_a = guided(xb, ok_b, m.kf_desc[kf_b], m.kf_xy[kf_a], lvl_a,
+                        ok_a, m.kf_desc[kf_a], S0)
+        a_to_b = guided(xa, ok_a, m.kf_desc[kf_a], m.kf_xy[kf_b], lvl_b,
+                        ok_b, m.kf_desc[kf_b], S0_inv)
+        # mutual agreement (`src/ORBmatcher.cc:1238-1260` "check agreement")
+        Nb = mp_b.shape[0]
+        a_sel = jnp.clip(b_to_a, 0, mp_a.shape[0] - 1)
+        agree = (b_to_a >= 0) & (a_to_b[a_sel] == jnp.arange(Nb))
+
+        x1 = xa[a_sel]
+        uv1 = m.kf_xy[kf_a][a_sel]
+        res = optimize_sim3(
+            S0, x1, xb, uv1, m.kf_xy[kf_b],
+            self.inv_sigma2[lvl_a[a_sel]], self.inv_sigma2[lvl_b],
+            agree, self.cam, fix_scale=self.fix_scale,
+        )
+        pairs_ok = res.inliers & agree
+        return (res.S, pairs_ok, mp_a[a_sel], mp_b, res.num_inliers,
+                jnp.sum(agree.astype(jnp.int32)))
+
     def compute_sim3(self, m: MapArrays, kf: int, loop_kf: int, key):
-        """Estimate S_{kf<-loop} from matched landmarks (camera frames)."""
+        """Estimate S_{kf<-loop}: descriptor matching -> Horn RANSAC ->
+        guided Sim3 matching -> relative-Sim3 LM refinement
+        (`FindLoopInCandidateKFs`, src/LoopClosing.cc:62-155)."""
         xa, xb, pt_a, pt_b, valid = self._match_kfs(
             m, jnp.int32(kf), jnp.int32(loop_kf)
         )
@@ -151,9 +217,17 @@ class LoopCloser:
         )
         if not bool(res.success):
             return None
-        # S: maps loop-KF camera coords -> current-KF camera coords
-        S = sim3.from_se3(res.pose, res.scale)
-        return S, np.asarray(res.inliers), np.asarray(pt_a), np.asarray(pt_b)
+        # S0: maps loop-KF camera coords -> current-KF camera coords
+        S0 = sim3.from_se3(res.pose, res.scale)
+        S, pairs_ok, pt_a2, pt_b2, n_inl, n_guided = self._sim3_refine(
+            m, jnp.int32(kf), jnp.int32(loop_kf), S0
+        )
+        # reference accepts the refined Sim3 at >=20 inliers (:137); fall
+        # back to the RANSAC estimate if guided matching starved (degenerate
+        # geometry) but RANSAC itself was confident
+        if int(n_inl) >= self.MIN_SIM3_INLIERS:
+            return S, np.asarray(pairs_ok), np.asarray(pt_a2), np.asarray(pt_b2)
+        return S0, np.asarray(res.inliers), np.asarray(pt_a), np.asarray(pt_b)
 
     def verify_by_projection(self, m: MapArrays, graph: MapGraph, kf: int,
                              loop_kf: int, S_cl, min_matches: int = 40):
@@ -362,7 +436,10 @@ class LoopCloser:
         pt_launched[graph.alive_points()] = True
         return {
             "gba_pose": kf_pose2, "gba_pts": pt_pos2,
-            "old_pose": m.kf_pose,  # device snapshot at launch
+            # materialized copy: later map updates donate their input
+            # buffers on TPU, which would invalidate a bare alias of
+            # m.kf_pose held across keyframes
+            "old_pose": m.kf_pose + 0.0,
             "kf_launched": kf_launched, "pt_launched": pt_launched,
             "costs": (g0, g1),
         }

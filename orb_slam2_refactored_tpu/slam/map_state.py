@@ -127,6 +127,16 @@ class MapGraph:
         self.loop_edges: Dict[int, Set[int]] = {}
         # per-point observations: point -> {kf: feat_idx}
         self.obs: Dict[int, Dict[int, int]] = {}
+        # host mirrors of device-side per-KF state. kf_row mirrors kf_mp
+        # (feature -> point) and kf_levels the keypoint pyramid levels —
+        # every device->host read of those arrays costs a ~30ms tunnel
+        # round trip, so the graph maintains them as observations change.
+        self.kf_row: np.ndarray = np.full(
+            (cap.max_keyframes, cap.max_features), -1, np.int32
+        )
+        self.kf_levels: np.ndarray = np.zeros(
+            (cap.max_keyframes, cap.max_features), np.int32
+        )
         # MapPoint lifecycle counters (found/visible ratio culling,
         # src/MapPoint.cc:322-339 & src/LocalMapping.cc:335-369)
         self.pt_visible: np.ndarray = np.zeros(cap.max_points, np.int32)
@@ -218,9 +228,15 @@ class MapGraph:
 
     def add_observation(self, pt: int, kf: int, feat_idx: int, is_stereo: bool):
         self.obs.setdefault(pt, {})[kf] = feat_idx
+        self.kf_row[kf, feat_idx] = pt
 
     def erase_observation(self, pt: int, kf: int):
-        self.obs.get(pt, {}).pop(kf, None)
+        feat = self.obs.get(pt, {}).pop(kf, None)
+        if feat is not None and self.kf_row[kf, feat] == pt:
+            self.kf_row[kf, feat] = -1
+
+    def set_levels(self, kf: int, levels: np.ndarray):
+        self.kf_levels[kf] = levels
 
     def n_obs(self, pt: int) -> int:
         return len(self.obs.get(pt, {}))
@@ -232,6 +248,9 @@ class MapGraph:
         device-side kf_mp references (no slot recycling — see alloc_kf_slot)."""
         self.pt_alive[pt] = False
         pairs = list(self.obs.pop(pt, {}).items())
+        for kf, feat in pairs:
+            if self.kf_row[kf, feat] == pt:
+                self.kf_row[kf, feat] = -1
         return pairs
 
     # -- accessor interface shared with native.NativeMapGraph -------------
@@ -278,6 +297,7 @@ class MapGraph:
         candidate among {remaining parents}, fallback to grandparent)."""
         if kf == self.origin_kf:
             return
+        self.kf_row[kf] = -1
         # detach covisibility
         for other in list(self.covis_weight.get(kf, {})):
             self.covis_weight[other].pop(kf, None)

@@ -33,6 +33,25 @@ STEREO = 1
 RGBD = 2
 
 
+def _np_compose(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Host-side se3 compose (same [qw,qx,qy,qz,t] layout & semantics as
+    geometry.se3.compose: apply b first, then a)."""
+    aw, ax, ay, az = a[0], a[1], a[2], a[3]
+    bw, bx, by, bz = b[0], b[1], b[2], b[3]
+    q = np.array([
+        aw * bw - ax * bx - ay * by - az * bz,
+        aw * bx + ax * bw + ay * bz - az * by,
+        aw * by - ax * bz + ay * bw + az * bx,
+        aw * bz + ax * by - ay * bx + az * bw,
+    ], np.float32)
+    q /= max(np.linalg.norm(q), 1e-12)
+    u, w = a[1:4], a[0]
+    v = b[4:7]
+    uv = np.cross(u, v)
+    t = v + 2.0 * (w * uv + np.cross(u, uv)) + a[4:7]
+    return np.concatenate([q, t.astype(np.float32)])
+
+
 class SlamSystem:
     def __init__(self, tracker: Tracker, sensor: int, settings: Settings):
         self.tracker = tracker
@@ -66,6 +85,7 @@ class SlamSystem:
             width=width, height=height,
             fx=cam.fx, fy=cam.fy, cx=cam.cx, cy=cam.cy,
             bf=cam.bf if sensor != MONOCULAR else 0.0,
+            dist_coeffs=(cam.k1, cam.k2, cam.p1, cam.p2, cam.k3),
             th_depth=st.th_depth,
             n_features=st.orb.n_features,
             n_levels=st.orb.n_levels,
@@ -160,10 +180,56 @@ class SlamSystem:
         traj = np.stack(self.tracker.trajectory) if self.tracker.trajectory else np.zeros((0, 7), np.float32)
         return np.asarray(se3.inverse(jnp.asarray(traj))) if len(traj) else traj
 
-    def save_trajectory_tum(self, path: str):
+    def corrected_frame_poses(self) -> np.ndarray:
+        """Per-frame world->camera poses with loop/GBA corrections applied.
+
+        The reference stores Tcr (pose relative to the reference KF at track
+        time) and composes with the KF's CURRENT pose at save time, walking
+        the spanning tree through culled reference KFs via their recorded
+        Tcp (`SaveTrajectoryTUM`, src/System.cc:690-747). Frames without a
+        Tcr record (losses, relocalization frames) keep their raw pose.
+        """
+        tracker = self.tracker
+        entries = tracker.traj_entries
+        if not entries:
+            return np.stack(tracker.trajectory) if tracker.trajectory else np.zeros((0, 7), np.float32)
+        kf_pose = np.asarray(tracker.map.kf_pose)  # ONE device read
+        g = tracker.graph
+        tcp_map = getattr(g, "kf_tcp", {})
+        out = np.zeros((len(entries), 7), np.float32)
+        ident = np.array([1, 0, 0, 0, 0, 0, 0], np.float32)
+        for i, e in enumerate(entries):
+            if e["lost"] or e["tcr"] is None or e["ref"] < 0:
+                out[i] = e["pose"]
+                continue
+            # walk culled reference KFs: Trw accumulates Tcp hops
+            # (host numpy composition — eager jnp through the TPU tunnel
+            # would compile remotely per op)
+            ref = e["ref"]
+            trw = ident
+            hops = 0
+            while not g.kf_alive[ref] and ref in tcp_map and hops < 64:
+                parent, tcp = tcp_map[ref]
+                trw = _np_compose(trw, np.asarray(tcp))
+                ref = parent
+                hops += 1
+            if not g.kf_alive[ref]:
+                out[i] = e["pose"]  # unwalkable (reset wiped the map)
+                continue
+            trw = _np_compose(trw, kf_pose[ref])
+            out[i] = _np_compose(e["tcr"], trw)
+        return out
+
+    def save_trajectory_tum(self, path: str, corrected: bool = True):
         """TUM format: `t tx ty tz qx qy qz qw` per frame
-        (`SaveTrajectoryTUM`, src/System.cc:690-747)."""
-        poses_wc = self._frame_poses_wc()
+        (`SaveTrajectoryTUM`, src/System.cc:690-747). With `corrected=True`
+        (default, matching the reference) every frame pose composes its Tcr
+        with the current — loop/GBA-corrected — reference keyframe pose."""
+        if corrected and self.tracker.traj_entries:
+            poses_cw = self.corrected_frame_poses()
+            poses_wc = np.asarray(se3.inverse(jnp.asarray(poses_cw)))
+        else:
+            poses_wc = self._frame_poses_wc()
         with open(path, "w") as f:
             for ts, p in zip(self.timestamps, poses_wc):
                 qw, qx, qy, qz, tx, ty, tz = p

@@ -46,6 +46,9 @@ class TrackerConfig:
     cx: float
     cy: float
     bf: float = 0.0
+    # radial-tangential lens distortion (k1, k2, p1, p2, k3) — the reference
+    # undistorts every keypoint in the frontend (src/System.cc:153-174)
+    dist_coeffs: tuple = (0.0, 0.0, 0.0, 0.0, 0.0)
     th_depth: float = 35.0          # close/far split = bf/fx * ThDepth analog
     n_features: int = 1000
     n_levels: int = 8
@@ -110,6 +113,18 @@ class Tracker:
     def __init__(self, cfg: TrackerConfig):
         self.cfg = cfg
         self.cam = proj.CameraIntrinsics.create(cfg.fx, cfg.fy, cfg.cx, cfg.cy, cfg.bf)
+        # lens distortion: keypoints are undistorted right after extraction
+        # (UndistortKeyPoints, src/System.cc:153-174); the frustum gate uses
+        # the undistorted image bounds (ComputeImageBounds, :177-195)
+        self._has_dist = any(float(c) != 0.0 for c in cfg.dist_coeffs)
+        self.dist = proj.DistCoeffs.create(*cfg.dist_coeffs)
+        if self._has_dist:
+            self.image_bounds = proj.image_bounds_np(
+                cfg.fx, cfg.fy, cfg.cx, cfg.cy, cfg.dist_coeffs,
+                cfg.width, cfg.height,
+            )
+        else:
+            self.image_bounds = (0.0, float(cfg.width), 0.0, float(cfg.height))
         self.extractor = OrbExtractor(
             cfg.height, cfg.width, cfg.n_features, cfg.scale_factor,
             cfg.n_levels, cfg.ini_th_fast, cfg.min_th_fast,
@@ -119,6 +134,12 @@ class Tracker:
         )
         self.map = empty_map(cfg.map_capacity)
         self.graph = _make_graph(cfg.map_capacity)
+        # device-resident found/visible counters (MapPoint statistics,
+        # src/MapPoint.cc:322-339) — incremented inside the fused track
+        # program, read back only at point-culling time
+        P = cfg.map_capacity.max_points
+        self.mp_vis_dev = jnp.zeros((P,), jnp.int32)
+        self.mp_found_dev = jnp.zeros((P,), jnp.int32)
         self.state = TrackState.NOT_INITIALIZED
         if cfg.enable_local_ba:
             from .local_mapping import LocalMapper
@@ -151,6 +172,10 @@ class Tracker:
         self.frames_since_kf = 0
         self.frame_id = 0
         self.trajectory: List[np.ndarray] = []
+        # per-frame Tcr-relative records for loop/GBA-corrected export
+        # (reference Trajectory, include/Tracking.h:43-52): one entry per
+        # tracked frame, aligned with `trajectory`
+        self.traj_entries: List[dict] = []
         self.track_info: List[dict] = []
         self.timer = StageTimer()
 
@@ -177,13 +202,18 @@ class Tracker:
         host->device link)."""
         depth_img = depth_img.astype(jnp.float32)
         feats: OrbFeatures = self.extractor._extract_impl(img)
+        # depth sampled at the RAW keypoint (the depth map shares the RGB
+        # distortion); u_right from the UNDISTORTED x — exactly the
+        # reference's ComputeStereoFromRGBD (src/System.cc:197-219)
         xi = jnp.clip(jnp.round(feats.xy[:, 0]).astype(jnp.int32), 0, self.cfg.width - 1)
         yi = jnp.clip(jnp.round(feats.xy[:, 1]).astype(jnp.int32), 0, self.cfg.height - 1)
         d = depth_img[yi, xi]
         has_d = d > 1e-3
-        u_right = jnp.where(has_d, feats.xy[:, 0] - self.cfg.bf / jnp.maximum(d, 1e-3), -1.0)
+        xy_und = (proj.undistort_points(self.cam, self.dist, feats.xy)
+                  if self._has_dist else feats.xy)
+        u_right = jnp.where(has_d, xy_und[:, 0] - self.cfg.bf / jnp.maximum(d, 1e-3), -1.0)
         return FrameData(
-            xy=feats.xy,
+            xy=xy_und,
             xy_raw=feats.xy,
             level=feats.level,
             angle=feats.angle,
@@ -212,32 +242,43 @@ class Tracker:
         u_right, depth, ok = refine_subpixel(
             to_gray(img_l), to_gray(img_r), lf.xy, u_right, ok, self.cfg.bf
         )
+        # stereo input is assumed rectified (reference requirement); when
+        # distortion coeffs are nonetheless given, undistort like the
+        # reference's unconditional UndistortKeyPoints (u_right stays in the
+        # raw rectified frame, matching ComputeStereoMatches semantics)
+        xy_und = (proj.undistort_points(self.cam, self.dist, lf.xy)
+                  if self._has_dist else lf.xy)
         return FrameData(
-            xy=lf.xy, xy_raw=lf.xy, level=lf.level, angle=lf.angle,
+            xy=xy_und, xy_raw=lf.xy, level=lf.level, angle=lf.angle,
             response=lf.response, desc=lf.desc,
             u_right=u_right, depth=depth, valid=lf.valid,
         )
 
     def _step_stereo_impl(
         self, img_l, img_r, last: FrameData, last_mp, m: MapArrays,
-        pose_last, velocity,
+        pose_last, velocity, ref_kf, mp_vis, mp_found,
     ):
         frame = self._prepare_stereo_impl(img_l, img_r)
-        pose, feat_mp, n_inl, n_mm, t_close, u_close = self._track_impl(
-            frame, last, last_mp, m, pose_last, velocity
+        (pose, feat_mp, n_inl, n_mm, t_close, u_close, used_ref,
+         found_mask, vis_mask, tcr) = self._track_impl(
+            frame, last, last_mp, m, pose_last, velocity, ref_kf
         )
         vel_new = se3.compose(pose, se3.inverse(pose_last))
         host_pack = jnp.concatenate(
             [pose, vel_new,
-             jnp.stack([n_inl, n_mm, t_close, u_close]).astype(jnp.float32)]
+             jnp.stack([n_inl, n_mm, t_close, u_close, used_ref]).astype(jnp.float32),
+             tcr]
         )
-        return frame, pose, vel_new, feat_mp, host_pack
+        return (frame, pose, vel_new, feat_mp, host_pack,
+                mp_vis + vis_mask, mp_found + found_mask)
 
     def _prepare_mono_impl(self, img) -> FrameData:
         feats: OrbFeatures = self.extractor._extract_impl(img)
         n = feats.xy.shape[0]
+        xy_und = (proj.undistort_points(self.cam, self.dist, feats.xy)
+                  if self._has_dist else feats.xy)
         return FrameData(
-            xy=feats.xy, xy_raw=feats.xy, level=feats.level, angle=feats.angle,
+            xy=xy_und, xy_raw=feats.xy, level=feats.level, angle=feats.angle,
             response=feats.response, desc=feats.desc,
             u_right=-jnp.ones((n,), jnp.float32),
             depth=-jnp.ones((n,), jnp.float32),
@@ -268,11 +309,12 @@ class Tracker:
         m: MapArrays,
         pose_last,
         velocity,
+        ref_kf,
     ):
         cfg = self.cfg
         pred = se3.compose(velocity, pose_last)
 
-        # ---- 1. motion-model matching against last frame's landmarks ----
+        # ---- 1a. motion-model matching against last frame's landmarks ----
         lm_idx = jnp.clip(last_mp, 0, m.point_capacity - 1)
         lm_pos = m.mp_pos[lm_idx]
         lm_ok = (last_mp >= 0) & m.mp_valid[lm_idx]
@@ -288,26 +330,110 @@ class Tracker:
             mm.valid,
         )
         midx = jnp.clip(mm.idx, 0, frame.capacity - 1)
-        obs_uv = frame.xy[midx]
-        obs_ur = frame.u_right[midx]
-        inv_s2 = self.inv_sigma2[frame.level[midx]]
         n_mm = jnp.sum(keep.astype(jnp.int32))
-        r1 = pose_optimize(
-            pred, lm_pos, obs_uv, obs_ur, inv_s2, keep, self.cam,
-            rounds=cfg.pose_opt_rounds, iters_per_round=cfg.pose_opt_iters,
+        # per-frame-feature landmark assignment from the motion model
+        feat_pt_mm = jnp.full((frame.capacity,), INVALID, jnp.int32).at[midx].max(
+            jnp.where(keep, last_mp, INVALID)
         )
 
-        # ---- 2. whole-map projection matching (local-map tracking) ----
-        taken = jnp.zeros((frame.capacity,), bool).at[midx].max(keep & r1.inliers)
-        feat_mp = jnp.full((frame.capacity,), INVALID, jnp.int32).at[midx].max(
-            jnp.where(keep & r1.inliers, last_mp, INVALID)
+        # ---- 1b. TrackReferenceKeyFrame fallback (src/Tracking.cc:257-282,
+        # selected at :800-829): when motion-model matching starves (fast
+        # rotation, velocity jump), match descriptors against the reference
+        # keyframe's landmarks with no spatial window and start LM from the
+        # LAST pose instead of the constant-velocity prediction. Both paths
+        # are computed in-graph; a scalar predicate selects.
+        ref_mp = m.kf_mp[ref_kf]
+        ref_ok = (
+            (ref_mp >= 0) & m.kf_feat_valid[ref_kf]
+            & m.mp_valid[jnp.clip(ref_mp, 0, m.point_capacity - 1)]
         )
-        lm = matching.search_by_projection(
+        mref = matching.match_descriptors(
+            frame.desc, m.kf_desc[ref_kf], frame.valid, ref_ok,
+            max_dist=50, nn_ratio=0.7,
+        )
+        ridx = jnp.clip(mref.idx, 0, ref_mp.shape[0] - 1)
+        keep_ref = matching.rotation_consistency(
+            frame.angle,
+            jnp.where(mref.idx >= 0, m.kf_angle[ref_kf][ridx], 0.0),
+            mref.valid,
+        )
+        feat_pt_ref = jnp.where(keep_ref, ref_mp[ridx], INVALID)
+
+        inv_s2_feat = self.inv_sigma2[frame.level]
+        has_mm = feat_pt_mm >= 0
+        r1_mm = pose_optimize(
+            pred, m.mp_pos[jnp.clip(feat_pt_mm, 0, m.point_capacity - 1)],
+            frame.xy, frame.u_right, inv_s2_feat, has_mm, self.cam,
+            rounds=cfg.pose_opt_rounds, iters_per_round=cfg.pose_opt_iters,
+        )
+        # fallback fires on starved matches OR starved post-opt inliers
+        # (TrackWithMotionModel fails on nmatches<20 and on <10 inliers
+        # after PoseOptimization — src/Tracking.cc:236,249-254)
+        use_ref = (n_mm < cfg.min_matches_mm) | (r1_mm.num_inliers < 10)
+
+        has_ref = feat_pt_ref >= 0
+        pts_ref = m.mp_pos[jnp.clip(feat_pt_ref, 0, m.point_capacity - 1)]
+
+        def run_ref(_):
+            # Windowless descriptor matches carry ~30-40% aliased outliers
+            # with huge residuals — plain LM from a far-off pose diverges, so
+            # seed the pose with RANSAC first (the reference's relocalizer
+            # does the same with EPnP, src/Tracking.cc:349-441).
+            from ..solvers.ransac import horn_ransac, p6p_ransac
+
+            if cfg.bf > 0:
+                # RGB-D/stereo: 3D-3D Horn on (landmark, unprojected-depth)
+                # pairs — closed-form and planar-safe, where a 2D-3D DLT
+                # resection degenerates when the visible landmarks are
+                # coplanar (one wall after a violent rotation)
+                xc_cur = proj.unproject(
+                    self.cam, frame.xy, jnp.maximum(frame.depth, 1e-3)
+                )
+                ok3d = has_ref & (frame.depth > 0)
+                res = horn_ransac(
+                    pts_ref, xc_cur, ok3d, jax.random.PRNGKey(0),
+                    with_scale=False, inlier_th=0.05, min_inliers=10,
+                )
+            else:
+                res = p6p_ransac(
+                    pts_ref, frame.xy, has_ref, self.cam,
+                    jax.random.PRNGKey(0), n_iters=256, sample_size=8,
+                )
+            pose_seed = jnp.where(res.success, res.pose, pose_last)
+            # LM over the RANSAC inlier set only: gross aliased outliers
+            # (~30-40%) overpower the Huber kernel before the first chi2
+            # reclassification and drag the pose away from a good seed
+            seed_ok = jnp.where(res.success, res.inliers & has_ref, has_ref)
+            r = pose_optimize(
+                pose_seed, pts_ref, frame.xy, frame.u_right,
+                inv_s2_feat, seed_ok, self.cam,
+                rounds=cfg.pose_opt_rounds, iters_per_round=cfg.pose_opt_iters,
+            )
+            return r.pose, r.inliers
+
+        def keep_mm(_):
+            return r1_mm.pose, r1_mm.inliers
+
+        pose1, inl1 = jax.lax.cond(use_ref, run_ref, keep_mm, None)
+
+        class _R1:  # lightweight view matching the r1 uses below
+            pose = pose1
+            inliers = inl1
+        r1 = _R1
+
+        # ---- 2. whole-map projection matching (local-map tracking) ----
+        feat_pt0 = jnp.where(use_ref, feat_pt_ref, feat_pt_mm)
+        taken = (feat_pt0 >= 0) & r1.inliers
+        feat_mp = jnp.where(taken, feat_pt0, INVALID)
+        lm, pt_vis = matching.search_by_projection_with_vis(
             frame.xy, frame.level, frame.desc, frame.valid & ~taken,
             m.mp_pos, m.mp_desc, m.mp_normal, m.mp_min_dist, m.mp_max_dist,
             m.mp_valid, r1.pose, self.cam, self.sf,
-            radius=cfg.local_radius,
-            image_bounds=(0.0, float(cfg.width), 0.0, float(cfg.height)),
+            # after a fallback the pose is coarser: widen the window like
+            # the reference's post-relocalization search (radius 10,
+            # src/ORBmatcher.cc reloc overload / src/Tracking.cc:441)
+            radius=jnp.where(use_ref, 10.0, cfg.local_radius),
+            image_bounds=self.image_bounds,
         )
         # per-point match -> per-feature assignment
         pidx = jnp.clip(lm.idx, 0, frame.capacity - 1)
@@ -332,6 +458,17 @@ class Tracker:
         close = close & (frame.depth < (cfg.bf / cfg.fx) * cfg.th_depth)
         tracked_close = jnp.sum((inl & close).astype(jnp.int32))
         untracked_close = jnp.sum((close & ~inl & frame.valid).astype(jnp.int32))
+        # found/visible statistics (MapPoint::IncreaseVisible/IncreaseFound,
+        # src/MapPoint.cc:322-339): found = landmark kept an inlier feature
+        # this frame; visible = passed the frustum gate (or was found)
+        found_mask = jnp.zeros((m.point_capacity,), bool).at[
+            jnp.clip(feat_mp_final, 0, m.point_capacity - 1)
+        ].max(feat_mp_final >= 0)
+        vis_mask = pt_vis | found_mask
+        # reference-KF-relative pose (Tcr): trajectory entries store Tcr and
+        # compose with the (BA/loop-corrected) reference pose at save time
+        # (src/Tracking.cc:1331-1343, src/System.cc:690-747)
+        tcr = se3.compose(r2.pose, se3.inverse(m.kf_pose[ref_kf]))
         return (
             r2.pose,
             feat_mp_final,
@@ -339,11 +476,15 @@ class Tracker:
             n_mm,
             tracked_close,
             untracked_close,
+            use_ref.astype(jnp.int32),
+            found_mask,
+            vis_mask,
+            tcr,
         )
 
     def _step_impl(
         self, img, depth_img, last: FrameData, last_mp, m: MapArrays,
-        pose_last, velocity,
+        pose_last, velocity, ref_kf, mp_vis, mp_found,
     ):
         """Fused per-frame program: extract + depth-associate + track.
 
@@ -353,18 +494,21 @@ class Tracker:
         `/root/reference/src/System.cc:430-543` + `src/Tracking.cc:1188-1346`).
         """
         frame = self._prepare_impl(img, depth_img)
-        pose, feat_mp, n_inl, n_mm, t_close, u_close = self._track_impl(
-            frame, last, last_mp, m, pose_last, velocity
+        (pose, feat_mp, n_inl, n_mm, t_close, u_close, used_ref,
+         found_mask, vis_mask, tcr) = self._track_impl(
+            frame, last, last_mp, m, pose_last, velocity, ref_kf
         )
         vel_new = se3.compose(pose, se3.inverse(pose_last))
         host_pack = jnp.concatenate(
             [
                 pose,
                 vel_new,
-                jnp.stack([n_inl, n_mm, t_close, u_close]).astype(jnp.float32),
+                jnp.stack([n_inl, n_mm, t_close, u_close, used_ref]).astype(jnp.float32),
+                tcr,
             ]
         )
-        return frame, pose, vel_new, feat_mp, host_pack
+        return (frame, pose, vel_new, feat_mp, host_pack,
+                mp_vis + vis_mask, mp_found + found_mask)
 
     def _insert_kf_impl(
         self, m: MapArrays, slot, frame: FrameData, pose, feat_mp, new_slots
@@ -411,7 +555,9 @@ class Tracker:
         )
         all_mp = jnp.where(create, new_slots, feat_mp)
         m = m._replace(kf_mp=m.kf_mp.at[slot].set(all_mp))
-        return m, all_mp
+        # pack (assignments, levels) so the host graph mirrors both from ONE
+        # device->host transfer (each read costs a ~30ms tunnel round trip)
+        return m, jnp.stack([all_mp, frame.level])
 
     # ------------------------------------------------------------------
     # host orchestration
@@ -429,7 +575,8 @@ class Tracker:
             lambda: self._step(
                 jnp.asarray(img), jnp.asarray(depth),
                 self.last_frame, self.last_mp_dev, self.map,
-                self.pose_dev, self.velocity_dev,
+                self.pose_dev, self.velocity_dev, jnp.int32(max(self.ref_kf, 0)),
+                self.mp_vis_dev, self.mp_found_dev,
             ),
             timestamp,
         )
@@ -443,7 +590,8 @@ class Tracker:
             lambda: self._step_stereo(
                 jnp.asarray(img_l), jnp.asarray(img_r),
                 self.last_frame, self.last_mp_dev, self.map,
-                self.pose_dev, self.velocity_dev,
+                self.pose_dev, self.velocity_dev, jnp.int32(max(self.ref_kf, 0)),
+                self.mp_vis_dev, self.mp_found_dev,
             ),
             timestamp,
         )
@@ -469,7 +617,11 @@ class Tracker:
 
         if self.state == TrackState.NOT_INITIALIZED:
             self._initialize_mono(prep(), timestamp)
-            self.trajectory.append(self.pose.copy())
+            ok = self.state == TrackState.OK
+            self._record_frame(
+                tcr=np.asarray(se3.identity()) if ok else None,
+                ref=self.ref_kf if ok else -1, lost=not ok,
+            )
             self.frame_id += 1
             return self.pose
         return self._run_frame(prep, step, timestamp)
@@ -477,21 +629,26 @@ class Tracker:
     def _mono_step(self, frame: FrameData):
         """Track an already-prepared mono frame via the shared program."""
         if not hasattr(self, "_mono_track"):
-            def impl(fr, last, last_mp, m, pose_last, velocity):
-                pose, feat_mp, n_inl, n_mm, t_close, u_close = self._track_impl(
-                    fr, last, last_mp, m, pose_last, velocity
+            def impl(fr, last, last_mp, m, pose_last, velocity, ref_kf,
+                     mp_vis, mp_found):
+                (pose, feat_mp, n_inl, n_mm, t_close, u_close, used_ref,
+                 found_mask, vis_mask, tcr) = self._track_impl(
+                    fr, last, last_mp, m, pose_last, velocity, ref_kf
                 )
                 vel_new = se3.compose(pose, se3.inverse(pose_last))
                 host_pack = jnp.concatenate(
                     [pose, vel_new,
-                     jnp.stack([n_inl, n_mm, t_close, u_close]).astype(jnp.float32)]
+                     jnp.stack([n_inl, n_mm, t_close, u_close, used_ref]).astype(jnp.float32),
+                     tcr]
                 )
-                return fr, pose, vel_new, feat_mp, host_pack
+                return (fr, pose, vel_new, feat_mp, host_pack,
+                        mp_vis + vis_mask, mp_found + found_mask)
 
             self._mono_track = jax.jit(impl)
         return self._mono_track(
             frame, self.last_frame, self.last_mp_dev, self.map,
-            self.pose_dev, self.velocity_dev,
+            self.pose_dev, self.velocity_dev, jnp.int32(max(self.ref_kf, 0)),
+            self.mp_vis_dev, self.mp_found_dev,
         )
 
     def _initialize_mono(self, frame: FrameData, timestamp: float):
@@ -542,13 +699,15 @@ class Tracker:
         slot0 = self.graph.alloc_kf_slot()
         empty_mp = jnp.full((frame.capacity,), INVALID, jnp.int32)
         no_new = jnp.full((frame.capacity,), INVALID, jnp.int32)
-        self.map, _ = self._insert_kf(
+        self.map, p0 = self._insert_kf(
             self.map, slot0, ref, jnp.asarray(se3.identity()), empty_mp, no_new
         )
         slot1 = self.graph.alloc_kf_slot()
-        self.map, _ = self._insert_kf(
+        self.map, p1 = self._insert_kf(
             self.map, slot1, frame, jnp.asarray(pose21), empty_mp, no_new
         )
+        self.graph.set_levels(slot0, np.asarray(p0)[1])
+        self.graph.set_levels(slot1, np.asarray(p1)[1])
         # scatter landmarks + both observations via the triangulation insert
         slots_np = np.full(frame.capacity, -1, np.int32)
         new_slots = self.graph.alloc_point_slots(n_good)
@@ -575,12 +734,10 @@ class Tracker:
             self.graph.pt_first_kf[s] = slot0
             self.graph.add_observation(s, slot0, int(f), False)
             self.graph.add_observation(s, slot1, int(idx_np[f]), False)
-        self.graph.update_connections(slot1, np.asarray(self.map.kf_mp[slot1]))
+        self.graph.update_connections(slot1, self.graph.kf_row[slot1])
 
         # refine the bootstrap with a 2-KF bundle adjustment
         # (GlobalBundleAdjustemnt(20) at :1128)
-        free = np.zeros(self.cfg.map_capacity.max_keyframes, bool)
-        free[slot1] = True
         self.map, _ = lm.local_ba(self.map, self.graph, slot1)
 
         self.pose = np.asarray(self.map.kf_pose[slot1])
@@ -592,7 +749,7 @@ class Tracker:
         self.last_mp = np.asarray(self.last_mp_dev)
         self.ref_kf = slot1
         self.ref_kf_tracked = n_good
-        self._ref_mp_row = np.asarray(self.map.kf_mp[slot1])
+        self._ref_mp_row = self.graph.kf_row[slot1].copy()
         self.frames_since_kf = 0
         self._mono_ref = None
         self.state = TrackState.OK
@@ -607,12 +764,30 @@ class Tracker:
     # thread lagged in the reference too).
     # ------------------------------------------------------------------
 
+    def _record_frame(self, tcr=None, ref=-1, lost=False):
+        """Append one trajectory slot: the raw track-time pose plus the
+        reference-KF-relative record (ref slot, Tcr) used by the
+        loop/GBA-corrected trajectory saver (src/System.cc:690-747)."""
+        self.trajectory.append(self.pose.copy())
+        self.traj_entries.append({
+            "ref": int(ref),
+            "tcr": None if tcr is None else np.asarray(tcr, np.float32).copy(),
+            "pose": self.pose.copy(),
+            "lost": bool(lost),
+        })
+
     def _run_frame_pipelined(self, step_fn, timestamp: float):
         with self.timer.time("track.dispatch"):
             cur = step_fn()
-        frame, pose_dev, vel_dev, feat_mp_dev, host_pack = cur
+        (frame, pose_dev, vel_dev, feat_mp_dev, host_pack,
+         self.mp_vis_dev, self.mp_found_dev) = cur
+        cur = (frame, pose_dev, vel_dev, feat_mp_dev, host_pack)
+        # request the scalar pack now: by the time the NEXT frame finalizes
+        # this one, the transfer has already crossed the tunnel (~30ms RT)
+        host_pack.copy_to_host_async()
         pending, self._pipeline_pending = getattr(self, "_pipeline_pending", None), (
-            frame, pose_dev, vel_dev, feat_mp_dev, host_pack, timestamp
+            frame, pose_dev, vel_dev, feat_mp_dev, host_pack, timestamp,
+            self.ref_kf,
         )
         # advance device-resident tracking state immediately (async)
         self.pose_dev, self.velocity_dev = pose_dev, vel_dev
@@ -632,14 +807,14 @@ class Tracker:
             self._finalize_pending(pending)
 
     def _finalize_pending(self, pending):
-        frame, pose_dev, vel_dev, feat_mp_dev, host_pack, ts = pending
+        frame, pose_dev, vel_dev, feat_mp_dev, host_pack, ts, disp_ref = pending
         pack = np.asarray(host_pack)
         n_inl = int(pack[14])
         if n_inl < self.cfg.min_inliers_track:
             self.state = TrackState.LOST
             self.pose_dev = jnp.asarray(self.pose)  # rewind device state
             self.velocity_dev = jnp.asarray(np.asarray(se3.identity()))
-            self.trajectory.append(self.pose.copy())
+            self._record_frame(lost=True)
             self.track_info.append({"inliers": n_inl, "lost": True})
             # the just-dispatched in-flight frame was predicted from this
             # (now known-bad) state; its result is discarded, but it still
@@ -648,10 +823,11 @@ class Tracker:
             # must hold even across a loss
             if getattr(self, "_pipeline_pending", None) is not None:
                 self._pipeline_pending = None
-                self.trajectory.append(self.pose.copy())
+                self._record_frame(lost=True)
                 self.track_info.append(
                     {"inliers": 0, "lost": True, "discarded": True}
                 )
+            self._maybe_auto_reset()
             return
         self.pose = pack[0:7]
         self.velocity = pack[7:14]
@@ -668,10 +844,10 @@ class Tracker:
             (self.last_frame, self.last_mp_dev, self.last_mp,
              self.pose_dev, self.velocity_dev) = save
             self.pose = pose_np
-        self.trajectory.append(self.pose.copy())
+        self._record_frame(tcr=pack[19:26], ref=disp_ref)
         self.track_info.append(
             {"inliers": n_inl, "mm": int(pack[15]), "kf": bool(need_kf),
-             "lost": False}
+             "ref_fallback": bool(pack[18]), "lost": False}
         )
 
     def _run_frame(self, prep_fn, step_fn, timestamp: float):
@@ -681,25 +857,39 @@ class Tracker:
         if self.state == TrackState.NOT_INITIALIZED:
             frame = prep_fn()
             self._initialize(frame, timestamp)
+            # init frame: pose IS the new KF pose -> Tcr = identity
+            ok = self.state == TrackState.OK
+            self._record_frame(
+                tcr=np.asarray(se3.identity()) if ok else None,
+                ref=self.ref_kf if ok else -1, lost=not ok,
+            )
+            self.frame_id += 1
+            return self.pose
         elif self.state == TrackState.LOST:
             frame = prep_fn()
             if self._relocalize(frame):
                 self.track_info.append({"reloc": True, "lost": False})
+                self._record_frame(lost=False)  # absolute pose (no Tcr yet)
             else:
                 self.track_info.append({"reloc": False, "lost": True})
+                self._record_frame(lost=True)
+            self.frame_id += 1
+            return self.pose
         else:
-            frame, pose_dev, vel_dev, feat_mp_dev, host_pack = step_fn()
+            (frame, pose_dev, vel_dev, feat_mp_dev, host_pack,
+             self.mp_vis_dev, self.mp_found_dev) = step_fn()
             pack = np.asarray(host_pack)
             pose = pack[0:7]
             n_inl, n_mm = int(pack[14]), int(pack[15])
             tracked_close, untracked_close = int(pack[16]), int(pack[17])
             if n_inl < self.cfg.min_inliers_track:
                 self.state = TrackState.LOST
-                # keep last pose; relocalization arrives in a later milestone
-                self.trajectory.append(self.pose.copy())
+                self._record_frame(lost=True)
                 self.track_info.append({"inliers": n_inl, "lost": True})
+                self._maybe_auto_reset()
                 self.frame_id += 1
                 return self.pose
+            disp_ref = self.ref_kf
             self.pose = pose
             self.velocity = pack[7:14]
             self.pose_dev, self.velocity_dev = pose_dev, vel_dev
@@ -712,10 +902,11 @@ class Tracker:
                 self.last_mp_dev = feat_mp_dev
             self.last_frame = frame
             self.track_info.append(
-                {"inliers": n_inl, "mm": n_mm, "kf": bool(need_kf), "lost": False}
+                {"inliers": n_inl, "mm": n_mm, "kf": bool(need_kf),
+                 "ref_fallback": bool(pack[18]), "lost": False}
             )
+            self._record_frame(tcr=pack[19:26], ref=disp_ref)
 
-        self.trajectory.append(self.pose.copy())
         self.frame_id += 1
         return self.pose
 
@@ -734,15 +925,42 @@ class Tracker:
         pts3d = m.mp_pos[jnp.clip(feat_pt, 0, m.point_capacity - 1)]
         return pts3d, feat_pt, mm.valid
 
+    def _reloc_solve_impl(self, frame: FrameData, pts3d, valid):
+        """RANSAC seed + pose LM for relocalization, one jitted program.
+
+        RGB-D/stereo seeds with 3D-3D Horn on unprojected depth (planar-safe
+        — a 2D-3D DLT resection degenerates on one-wall views); mono seeds
+        with the DLT RANSAC (the reference uses EPnP, src/Tracking.cc:349-441).
+        """
+        from ..solvers.ransac import horn_ransac, p6p_ransac
+
+        if self.cfg.bf > 0:
+            xc = proj.unproject(self.cam, frame.xy,
+                                jnp.maximum(frame.depth, 1e-3))
+            ok3 = valid & (frame.depth > 0)
+            res = horn_ransac(pts3d, xc, ok3, jax.random.PRNGKey(0),
+                              with_scale=False, inlier_th=0.05,
+                              min_inliers=10)
+        else:
+            res = p6p_ransac(pts3d, frame.xy, valid, self.cam,
+                             jax.random.PRNGKey(0), n_iters=256,
+                             sample_size=8)
+        seed_ok = jnp.where(res.success, res.inliers & valid, valid)
+        r = pose_optimize(
+            jnp.where(res.success, res.pose, jnp.asarray(se3.identity())),
+            pts3d, frame.xy, frame.u_right,
+            self.inv_sigma2[frame.level], seed_ok, self.cam,
+        )
+        return res.success, r.pose, r.inliers, r.num_inliers
+
     def _relocalize(self, frame: FrameData) -> bool:
-        """BoW candidate retrieval + PnP RANSAC + pose refinement
+        """BoW candidate retrieval + RANSAC + pose refinement
         (`Relocalizer::Relocalize`, /root/reference/src/Tracking.cc:284-463).
         Needs the loop closer's BoW database; without one, stays lost."""
         if self.loop_closer is None:
             return False
-        import jax as _jax
-
-        from ..solvers.ransac import p6p_ransac
+        if not hasattr(self, "_reloc_solve"):
+            self._reloc_solve = jax.jit(self._reloc_solve_impl)
 
         v, _ = self.loop_closer.db.compute_bow(frame.desc, frame.valid)
         cands = self.loop_closer.db.detect_candidates(
@@ -752,16 +970,15 @@ class Tracker:
             pts3d, feat_pt, valid = self._reloc_match(frame, self.map, jnp.int32(kf))
             if int(np.asarray(valid).sum()) < 15:
                 continue
-            res = p6p_ransac(
-                pts3d, frame.xy, valid, self.cam,
-                _jax.random.PRNGKey(self.frame_id),
+            success, pose, inliers, n_inl = self._reloc_solve(
+                frame, pts3d, valid
             )
-            if not bool(res.success):
+            if not bool(success):
                 continue
-            r = pose_optimize(
-                res.pose, pts3d, frame.xy, frame.u_right,
-                self.inv_sigma2[frame.level], valid & res.inliers, self.cam,
-            )
+
+            class r:  # noqa: N801 - lightweight result view
+                pass
+            r.pose, r.inliers, r.num_inliers = pose, inliers, n_inl
             if int(r.num_inliers) < 20:
                 continue
             self.pose = np.asarray(r.pose)
@@ -773,6 +990,43 @@ class Tracker:
                 jnp.asarray(np.asarray(r.inliers)), feat_pt, INVALID
             )
             self.state = TrackState.OK
+            return True
+        return False
+
+    def reset_map(self):
+        """Discard the map and return to NOT_INITIALIZED, keeping compiled
+        programs and the trajectory log (System/Tracking::Reset analog,
+        `/root/reference/src/System.cc:624-660`)."""
+        self.map = empty_map(self.cfg.map_capacity)
+        self.graph = _make_graph(self.cfg.map_capacity)
+        P = self.cfg.map_capacity.max_points
+        self.mp_vis_dev = jnp.zeros((P,), jnp.int32)
+        self.mp_found_dev = jnp.zeros((P,), jnp.int32)
+        if self.loop_closer is not None:
+            self.loop_closer.db.clear()
+            self.loop_closer.consistent_groups = []
+        self._gba_pending = None
+        self.pose = np.asarray(se3.identity())
+        self.velocity = np.asarray(se3.identity())
+        self.pose_dev = jnp.asarray(self.pose)
+        self.velocity_dev = jnp.asarray(self.velocity)
+        self.last_frame = None
+        self.last_mp = None
+        self.last_mp_dev = None
+        self.ref_kf = -1
+        self.ref_kf_tracked = 0
+        self._ref_mp_row = None
+        self.frames_since_kf = 0
+        self._mono_ref = None
+        self._pipeline_pending = None
+        self.state = TrackState.NOT_INITIALIZED
+
+    def _maybe_auto_reset(self) -> bool:
+        """Auto-reset when tracking is lost soon after initialization
+        (<=5 keyframes in the map — `/root/reference/src/Tracking.cc:1317-1325`):
+        a map that thin cannot support relocalization, so restart clean."""
+        if len(self.graph.alive_kfs()) <= 5:
+            self.reset_map()
             return True
         return False
 
@@ -894,13 +1148,16 @@ class Tracker:
         new_slots = np.full(frame.capacity, INVALID, np.int64)
         if n_new:
             new_slots[create_mask] = self.graph.alloc_point_slots(n_new)
-        self.map, all_mp_dev = self._insert_kf(
+        self.map, packed_dev = self._insert_kf(
             self.map, slot, frame, jnp.asarray(self.pose),
             jnp.asarray(feat_mp.astype(np.int32)),
             jnp.asarray(new_slots, jnp.int32),
         )
-        all_mp = np.asarray(all_mp_dev)
+        packed = np.asarray(packed_dev)
+        all_mp, levels = packed[0], packed[1]
+        all_mp_dev = packed_dev[0]
         # host graph bookkeeping
+        self.graph.set_levels(slot, levels)
         self.graph.set_kf_alive(slot, True)
         self.graph.kf_frame_id[slot] = self.frame_id
         self.graph.kf_timestamp[slot] = timestamp
@@ -951,7 +1208,10 @@ class Tracker:
                     self.map, self.graph, slot
                 )
             with self.timer.time("kf.cull_points"):
-                self.map, _ = self.local_mapper.cull_points(self.map, self.graph, slot)
+                self.map, _ = self.local_mapper.cull_points(
+                    self.map, self.graph, slot,
+                    vis_found=(self.mp_vis_dev, self.mp_found_dev),
+                )
             with self.timer.time("kf.local_ba"):
                 self.map, info = self.local_mapper.local_ba(self.map, self.graph, slot)
             with self.timer.time("kf.cull_kfs"):
@@ -962,10 +1222,13 @@ class Tracker:
                 for k in killed:
                     self.loop_closer.db.erase(k)
             self.last_ba_info = info
-            if info is not None:
+            if info is not None and not self.cfg.pipelined:
                 # adopt the BA-refined pose of the new keyframe as the
                 # tracker's current pose (the reference's map-update mutex
-                # hand-off, src/Tracking.cc:1196, becomes this re-read)
+                # hand-off, src/Tracking.cc:1196, becomes this re-read).
+                # Pipelined mode skips it: the caller restores the in-flight
+                # frame's device state right after this returns, so the
+                # read would be paid (~30ms) and then discarded.
                 self.pose = np.asarray(self.map.kf_pose[slot])
                 self.pose_dev = jnp.asarray(self.pose)
         return slot
