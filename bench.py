@@ -28,7 +28,10 @@ jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 N_FRAMES = int(os.environ.get("BENCH_FRAMES", "100"))
-WARMUP = 8
+# warmup must cover several keyframe cycles: the KF-stage programs (and
+# their padding-bucket variants) compile lazily, and a single remote compile
+# through the tunnel costs seconds
+WARMUP = int(os.environ.get("BENCH_WARMUP", "30"))
 BASELINE_FPS = 30.0
 CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                      ".bench_cache", f"vga_{N_FRAMES}.npz")

@@ -94,9 +94,7 @@ def main(argv=None):
     )
 
     if args.mode == "rgbd_tum":
-        stream = datasets.tum_rgbd_sequence(
-            args.sequence, system.settings.depth_map_factor or 5000.0, args.assoc
-        )
+        stream = datasets.tum_rgbd_sequence(args.sequence, args.assoc)
         _run(system, stream, lambda s, it: s.track_rgbd(it[1], it[2], it[0]), args)
     elif args.mode == "mono_tum":
         stream = datasets.tum_mono_sequence(args.sequence)

@@ -66,14 +66,15 @@ def load_tum_associations(seq_dir: str, assoc_file: Optional[str] = None):
 
 
 def tum_rgbd_sequence(
-    seq_dir: str, depth_factor: float = 5000.0, assoc_file: Optional[str] = None
+    seq_dir: str, assoc_file: Optional[str] = None
 ) -> Iterator[Tuple[float, np.ndarray, np.ndarray]]:
-    """Yields (timestamp, gray f32[H,W], depth_m f32[H,W]) — rgbd_tum.cc analog."""
+    """Yields (timestamp, gray f32[H,W], depth_raw f32[H,W]) — rgbd_tum.cc
+    analog. Depth stays in RAW sensor units: the System frontend applies
+    DepthMapFactor exactly once, like the reference's Tracking frontend."""
     for t, rgb_rel, depth_rel in load_tum_associations(seq_dir, assoc_file):
         img = _imread_gray(os.path.join(seq_dir, rgb_rel))
         d = cv2.imread(os.path.join(seq_dir, depth_rel), cv2.IMREAD_UNCHANGED)
-        depth = d.astype(np.float32) / depth_factor
-        yield t, img, depth
+        yield t, img, d.astype(np.float32)
 
 
 def tum_mono_sequence(seq_dir: str) -> Iterator[Tuple[float, np.ndarray]]:

@@ -14,6 +14,7 @@ This plays the role of the reference's dataset drivers + ground truth files
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import List, Tuple
 
 import numpy as np
@@ -149,6 +150,55 @@ class SyntheticScene:
         )
         right, _ = self.render(pose_r)
         return left, right, depth
+
+
+def export_tum_sequence(out_dir: str, scene: "SyntheticScene",
+                        poses_cw: np.ndarray, fps: float = 30.0,
+                        depth_factor: float = 5000.0,
+                        depth_noise: float = 0.0, seed: int = 0,
+                        t0: float = 1000.0) -> str:
+    """Write a rendered sequence in the TUM RGB-D on-disk layout.
+
+    Produces `rgb/*.png` (8-bit gray), `depth/*.png` (16-bit, meters *
+    depth_factor), `rgb.txt`, `depth.txt` and `groundtruth.txt` — byte-format
+    compatible with the files `rgbd_tum.cc` and the TUM tools consume
+    (`/root/reference/Examples/RGB-D/rgbd_tum.cc`, association format of
+    associate.py). Lets the REAL dataset driver (`drivers.py rgbd_tum`) run
+    end-to-end in a zero-egress container. Returns out_dir.
+    """
+    import cv2
+
+    from ..geometry import se3
+    import jax.numpy as jnp
+
+    os.makedirs(os.path.join(out_dir, "rgb"), exist_ok=True)
+    os.makedirs(os.path.join(out_dir, "depth"), exist_ok=True)
+    rng = np.random.default_rng(seed)
+    rgb_lines, depth_lines, gt_lines = [], [], []
+    for i, pose in enumerate(poses_cw):
+        ts = t0 + i / fps
+        img, depth = scene.render(pose)
+        if depth_noise:
+            depth = depth * (1 + rng.normal(0, depth_noise, depth.shape))
+        rgb_name = f"rgb/{ts:.6f}.png"
+        depth_name = f"depth/{ts:.6f}.png"
+        cv2.imwrite(os.path.join(out_dir, rgb_name),
+                    np.clip(img, 0, 255).astype(np.uint8))
+        cv2.imwrite(os.path.join(out_dir, depth_name),
+                    np.clip(depth * depth_factor, 0, 65535).astype(np.uint16))
+        rgb_lines.append(f"{ts:.6f} {rgb_name}")
+        depth_lines.append(f"{ts:.6f} {depth_name}")
+        wc = np.asarray(se3.inverse(jnp.asarray(pose, jnp.float32)))
+        qw, qx, qy, qz, tx, ty, tz = wc
+        gt_lines.append(
+            f"{ts:.6f} {tx:.6f} {ty:.6f} {tz:.6f} {qx:.6f} {qy:.6f} {qz:.6f} {qw:.6f}"
+        )
+    for name, lines in [("rgb.txt", rgb_lines), ("depth.txt", depth_lines),
+                        ("groundtruth.txt", gt_lines)]:
+        with open(os.path.join(out_dir, name), "w") as f:
+            f.write(f"# synthetic TUM-layout export\n# timestamp data\n")
+            f.write("\n".join(lines) + "\n")
+    return out_dir
 
 
 def orbit_trajectory(n_frames: int, radius=0.8, z_amp=0.3, yaw_amp=0.25):

@@ -97,6 +97,7 @@ class NativeMapGraph:
         self.kf_alive = np.zeros(cap.max_keyframes, bool)
         self.kf_frame_id = np.full(cap.max_keyframes, -1, np.int64)
         self.kf_timestamp = np.zeros(cap.max_keyframes, np.float64)
+        self.kf_watermark = np.zeros(cap.max_keyframes, np.int64)
         self.pt_visible = np.zeros(cap.max_points, np.int32)
         self.pt_found = np.zeros(cap.max_points, np.int32)
         self.pt_first_kf = _FirstKf(self)
@@ -137,6 +138,7 @@ class NativeMapGraph:
             raise RuntimeError(f"keyframe capacity {self.cap.max_keyframes} exhausted")
         s = self.num_kfs
         self.num_kfs += 1
+        self.kf_watermark[s] = self.next_point
         return s
 
     def alloc_point_slots(self, n: int) -> np.ndarray:

@@ -69,24 +69,64 @@ def _residual_one(pose, pt, uv, ur, has_ur, cam):
 
 
 def _residuals_jacobians(kf_pose, pt_pos, p: BAProblem, cam):
-    """r[K,N,3], Jp[K,N,3,6], Jl[K,N,3,3] for every observation slot."""
+    """r[K,N,3], Jp[K,N,3,6], Jl[K,N,3,3] for every observation slot.
+
+    Analytic Jacobians (the autodiff form costs ~10 residual evaluations per
+    observation; this is one). Conventions: r = obs - proj(xc) with the
+    left-multiplicative retraction exp(delta) @ pose, so
+      dxc/domega = -[xc]x,  dxc/dupsilon = I,  dxc/dx_world = R(pose),
+    matching g2o's EdgeSE3ProjectXYZ linearizeOplus up to the tangent
+    ordering (`Thirdparty/g2o/g2o/types/types_six_dof_expmap.cpp`).
+    """
     has_ur = p.obs_ur > 0
     pt_idx = jnp.clip(p.obs_pt, 0, pt_pos.shape[0] - 1)
     pts = pt_pos[pt_idx]  # [K,N,3]
 
-    def obs_fn(pose, pt, uv, ur, h):
-        def f(dp, dl):
-            return _residual_one(se3.retract(pose, dp), pt + dl, uv, ur, h, cam)
+    q = kf_pose[:, 0:4]
+    xc = se3.transform(kf_pose[:, None, :], pts)  # [K,N,3]
+    x, y, z = xc[..., 0], xc[..., 1], xc[..., 2]
+    live = z > 1e-2
+    zs = jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
+    inv_z = 1.0 / zs
+    inv_z2 = inv_z * inv_z
 
-        z6, z3 = jnp.zeros(6), jnp.zeros(3)
-        r = f(z6, z3)
-        Jp = jax.jacfwd(f, argnums=0)(z6, z3)
-        Jl = jax.jacfwd(f, argnums=1)(z6, z3)
-        return r, Jp, Jl
+    pred_u = cam.fx * x * inv_z + cam.cx
+    pred_v = cam.fy * y * inv_z + cam.cy
+    pred_r = pred_u - cam.bf * inv_z
+    r = jnp.stack([
+        p.obs_uv[..., 0] - pred_u,
+        p.obs_uv[..., 1] - pred_v,
+        jnp.where(has_ur, p.obs_ur - pred_r, 0.0),
+    ], -1)
+    r = jnp.where(live[..., None], r, 0.0)
 
-    fn = jax.vmap(jax.vmap(obs_fn, in_axes=(None, 0, 0, 0, 0)),
-                  in_axes=(0, 0, 0, 0, 0))
-    return fn(kf_pose, pts, p.obs_uv, p.obs_ur, has_ur)
+    # J_proj = d(pred)/d(xc): [K,N,3,3]
+    zr = jnp.zeros_like(x)
+    Jproj = jnp.stack([
+        jnp.stack([cam.fx * inv_z, zr, -cam.fx * x * inv_z2], -1),
+        jnp.stack([zr, cam.fy * inv_z, -cam.fy * y * inv_z2], -1),
+        jnp.stack([cam.fx * inv_z, zr,
+                   -cam.fx * x * inv_z2 + cam.bf * inv_z2], -1),
+    ], -2)
+    # r = obs - pred  =>  dr/dxc = -Jproj; mask the mono third row and dead
+    # (behind-camera) observations exactly like the residual
+    row_mask = jnp.stack([live, live, live & has_ur], -1)  # [K,N,3]
+    dr_dxc = jnp.where(row_mask[..., None], -Jproj, 0.0)
+
+    # dxc/d(omega) = -[xc]x  (left-multiplicative tangent), dxc/dv = I
+    O = jnp.zeros_like(x)
+    skew = jnp.stack([
+        jnp.stack([O, -z, y], -1),
+        jnp.stack([z, O, -x], -1),
+        jnp.stack([-y, x, O], -1),
+    ], -2)  # [K,N,3,3]
+    Jp_rot = -jnp.einsum("knij,knjl->knil", dr_dxc, skew)
+    Jp = jnp.concatenate([Jp_rot, dr_dxc], -1)  # [K,N,3,6]
+
+    # dxc/dx_world = R(pose): column l of Jl = dr_dxc @ R[:, l]
+    R = se3.quat_to_matrix(q)  # [K,3,3]
+    Jl = jnp.einsum("knij,kjl->knil", dr_dxc, R)
+    return r, Jp, Jl
 
 
 def _cost_only(kf_pose, pt_pos, p: BAProblem, cam, w_valid, huber_delta,
@@ -105,6 +145,31 @@ def _cost_only(kf_pose, pt_pos, p: BAProblem, cam, w_valid, huber_delta,
 def _psum(x, axis_name):
     """Cross-shard reduction when running keyframe-sharded under shard_map."""
     return jax.lax.psum(x, axis_name) if axis_name is not None else x
+
+
+def _inv3x3(A):
+    """Closed-form batched 3x3 inverse (adjugate / det) — far cheaper on TPU
+    than the general LU path of jnp.linalg.inv for [P,3,3] stacks."""
+    a, b, c = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
+    d, e, f = A[..., 1, 0], A[..., 1, 1], A[..., 1, 2]
+    g, h, i = A[..., 2, 0], A[..., 2, 1], A[..., 2, 2]
+    A11 = e * i - f * h
+    A12 = c * h - b * i
+    A13 = b * f - c * e
+    A21 = f * g - d * i
+    A22 = a * i - c * g
+    A23 = c * d - a * f
+    A31 = d * h - e * g
+    A32 = b * g - a * h
+    A33 = a * e - b * d
+    det = a * A11 + b * A21 + c * A31
+    inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
+    adj = jnp.stack([
+        jnp.stack([A11, A12, A13], -1),
+        jnp.stack([A21, A22, A23], -1),
+        jnp.stack([A31, A32, A33], -1),
+    ], -2)
+    return adj * inv_det[..., None, None]
 
 
 def _huber_rho(chi2, delta, use_huber):
@@ -179,7 +244,7 @@ def _ba_solve_f32(p, cam, iters, cg_iters, use_huber, chi2_gate, axis_name,
         Hpp_d = Hpp + (lam * dp_diag + 1e-6)[:, :, None] * eye6[None]
         dl_diag = jnp.diagonal(Hll, axis1=1, axis2=2)
         Hll_d = Hll + (lam * dl_diag + 1e-6)[:, :, None] * eye3[None]
-        G = jnp.linalg.inv(Hll_d + 1e-9 * eye3[None])  # [P,3,3]
+        G = _inv3x3(Hll_d + 1e-9 * eye3[None])  # [P,3,3]
         if p.pt_frozen is not None:
             # frozen landmarks are excluded from the Schur elimination: G=0
             # removes their -U G U^T term (they act as constants in the

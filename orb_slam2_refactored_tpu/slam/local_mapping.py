@@ -760,7 +760,12 @@ class LocalMapper:
             vis, found = packed[0], packed[1]
             ratio = found / np.maximum(vis, 1)
         kill: List[int] = []
-        for pt in graph.points_with_obs():
+        # only points allocated within the trial window can die here:
+        # bound the scan by the allocation watermark instead of walking
+        # every observed point in the map (slots are monotonic)
+        w_kf = max(new_kf - (age + 2), 0)
+        lo = int(graph.kf_watermark[w_kf]) if w_kf < len(graph.kf_watermark) else 0
+        for pt in range(lo, graph.next_point):
             if not graph.pt_alive[pt]:
                 continue
             first = graph.pt_first_kf[pt]

@@ -143,6 +143,7 @@ class MapGraph:
         self.pt_found: np.ndarray = np.zeros(cap.max_points, np.int32)
         self.pt_first_kf: np.ndarray = np.full(cap.max_points, -1, np.int64)
         self.pt_alive: np.ndarray = np.zeros(cap.max_points, bool)
+        self.kf_watermark: np.ndarray = np.zeros(cap.max_keyframes, np.int64)
         self.origin_kf: int = -1
         self.big_change_counter = 0
 
@@ -160,6 +161,9 @@ class MapGraph:
             )
         slot = self.num_kfs
         self.num_kfs += 1
+        # point-allocation watermark: slots >= kf_watermark[s] were created
+        # at/after keyframe s (bounds MapPointCulling's candidate scan)
+        self.kf_watermark[slot] = self.next_point
         return slot
 
     def alloc_point_slots(self, n: int) -> np.ndarray:

@@ -90,6 +90,7 @@ def save_map(tracker: Tracker, path: str):
         graph_origin=np.int64(g.origin_kf),
         graph_num_kfs=np.int64(g.num_kfs),
         graph_next_point=np.int64(g.next_point),
+        graph_watermark=np.asarray(g.kf_watermark, np.int64),
         tracker_pose=tracker.pose,
         tracker_state=np.int64(tracker.state),
         tracker_ref_kf=np.int64(tracker.ref_kf),
@@ -111,6 +112,8 @@ def load_map(tracker: Tracker, path: str):
     g.num_kfs = int(z["graph_num_kfs"])
     g.next_point = int(z["graph_next_point"])
     g.origin_kf = int(z["graph_origin"])
+    if "graph_watermark" in z.files:
+        g.kf_watermark[:] = z["graph_watermark"]
     kf_alive = z["graph_kf_alive"]
     for k in np.nonzero(kf_alive)[0]:
         g.set_kf_alive(int(k), True)

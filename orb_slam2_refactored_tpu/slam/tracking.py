@@ -64,8 +64,11 @@ class TrackerConfig:
     kf_min_interval: int = 0
     kf_max_interval: int = 30
     enable_local_ba: bool = True
-    local_ba_iters: int = 4
-    local_ba_cg_iters: int = 18
+    # 3 LM iterations x 12 CG converge on tracked windows (the reference's
+    # 5+10 g2o iterations solve from scratch each time; ours warm-start from
+    # the previous BA's poses, so later iterations buy nothing)
+    local_ba_iters: int = 3
+    local_ba_cg_iters: int = 12
     enable_loop_closing: bool = False
     vocab_words: int = 512
     mono_init_min_matches: int = 100  # src/Tracking.cc:1044 (<100 resets init)
@@ -75,6 +78,8 @@ class TrackerConfig:
     pose_opt_rounds: int = 4          # reference: 4 rounds (src/Optimizer.cc:417)
     pose_opt_iters: int = 5           # reference: 10 LM its/round; 5 converges
     pipelined: bool = False           # overlap host readback with next dispatch
+    pipeline_depth: int = 2           # in-flight frames; 2 fully hides the
+                                      # ~30ms tunnel RT of the scalar readback
 
     def __post_init__(self):
         if self.map_capacity is None:
@@ -781,30 +786,33 @@ class Tracker:
             cur = step_fn()
         (frame, pose_dev, vel_dev, feat_mp_dev, host_pack,
          self.mp_vis_dev, self.mp_found_dev) = cur
-        cur = (frame, pose_dev, vel_dev, feat_mp_dev, host_pack)
-        # request the scalar pack now: by the time the NEXT frame finalizes
-        # this one, the transfer has already crossed the tunnel (~30ms RT)
+        # request the scalar pack now: with pipeline_depth in-flight frames
+        # the transfer has crossed the tunnel (~30ms RT) by finalize time
         host_pack.copy_to_host_async()
-        pending, self._pipeline_pending = getattr(self, "_pipeline_pending", None), (
-            frame, pose_dev, vel_dev, feat_mp_dev, host_pack, timestamp,
-            self.ref_kf,
-        )
+        q = getattr(self, "_pending_q", None)
+        if q is None:
+            q = self._pending_q = []
+        q.append((frame, pose_dev, vel_dev, feat_mp_dev, host_pack,
+                  timestamp, self.ref_kf))
         # advance device-resident tracking state immediately (async)
         self.pose_dev, self.velocity_dev = pose_dev, vel_dev
         self.last_frame = frame
         self.last_mp_dev = feat_mp_dev
-        if pending is not None:
+        while len(q) > max(int(self.cfg.pipeline_depth), 1):
             with self.timer.time("track.finalize"):
-                self._finalize_pending(pending)
+                self._finalize_pending(q.pop(0))
+            if self.state != TrackState.OK:
+                break  # loss drained the queue inside finalize
         self.frame_id += 1
         return self.pose
 
     def flush(self):
         """Drain the pipeline (call before reading the trajectory)."""
-        pending = getattr(self, "_pipeline_pending", None)
-        if pending is not None:
-            self._pipeline_pending = None
-            self._finalize_pending(pending)
+        q = getattr(self, "_pending_q", None)
+        while q:
+            self._finalize_pending(q.pop(0))
+            if self.state != TrackState.OK:
+                break
 
     def _finalize_pending(self, pending):
         frame, pose_dev, vel_dev, feat_mp_dev, host_pack, ts, disp_ref = pending
@@ -816,13 +824,14 @@ class Tracker:
             self.velocity_dev = jnp.asarray(np.asarray(se3.identity()))
             self._record_frame(lost=True)
             self.track_info.append({"inliers": n_inl, "lost": True})
-            # the just-dispatched in-flight frame was predicted from this
-            # (now known-bad) state; its result is discarded, but it still
+            # every still-in-flight frame was predicted from this (now
+            # known-bad) state; their results are discarded, but each still
             # owns one trajectory slot — TUM export pairs every entry with
             # a SlamSystem timestamp, so the 1-entry-per-frame invariant
             # must hold even across a loss
-            if getattr(self, "_pipeline_pending", None) is not None:
-                self._pipeline_pending = None
+            q = getattr(self, "_pending_q", None)
+            while q:
+                q.pop(0)
                 self._record_frame(lost=True)
                 self.track_info.append(
                     {"inliers": 0, "lost": True, "discarded": True}
@@ -1018,7 +1027,7 @@ class Tracker:
         self._ref_mp_row = None
         self.frames_since_kf = 0
         self._mono_ref = None
-        self._pipeline_pending = None
+        self._pending_q = []
         self.state = TrackState.NOT_INITIALIZED
 
     def _maybe_auto_reset(self) -> bool:

@@ -122,3 +122,63 @@ class TestBA:
         f = jax.jit(lambda pr: ba_solve(pr, cam, iters=6, cg_iters=25))
         res = f(prob)
         assert float(res.final_cost) < float(res.initial_cost)
+
+
+class TestAnalyticJacobians:
+    def test_match_autodiff(self):
+        """The analytic Jacobians must equal vmapped jacfwd on the same
+        residual (regression guard for the closed-form rewrite)."""
+        import jax
+        from orb_slam2_refactored_tpu.optim.ba import (
+            BAProblem, _residual_one, _residuals_jacobians,
+        )
+        from orb_slam2_refactored_tpu.geometry import projection as proj
+        from orb_slam2_refactored_tpu.geometry import se3
+
+        rng = np.random.default_rng(0)
+        K, N, P = 3, 8, 16
+        cam = proj.CameraIntrinsics.create(260.0, 260.0, 160.0, 120.0, bf=20.0)
+        tang = jnp.asarray(rng.normal(0, 0.2, (K, 6)).astype(np.float32))
+        poses = jax.vmap(se3.exp)(tang)
+        pts = jnp.asarray(
+            rng.uniform(-1, 1, (P, 3)).astype(np.float32) + np.array([0, 0, 3.0], np.float32)
+        )
+        obs_pt = jnp.asarray(rng.integers(-1, P, (K, N)), jnp.int32)
+        obs_uv = jnp.asarray(rng.uniform(0, 320, (K, N, 2)).astype(np.float32))
+        obs_ur = jnp.asarray(
+            np.where(rng.random((K, N)) < 0.5, rng.uniform(0, 320, (K, N)), -1.0).astype(np.float32)
+        )
+        p = BAProblem(
+            kf_pose=poses, kf_fixed=jnp.zeros((K,), bool), obs_uv=obs_uv,
+            obs_ur=obs_ur, obs_pt=obs_pt, obs_inv_s2=jnp.ones((K, N)),
+            pt_pos=pts, pt_valid=jnp.ones((P,), bool),
+        )
+        r, Jp, Jl = _residuals_jacobians(poses, pts, p, cam)
+
+        has_ur = p.obs_ur > 0
+        pt_idx = jnp.clip(p.obs_pt, 0, P - 1)
+        gathered = pts[pt_idx]
+
+        def obs_fn(pose, pt, uv, ur, h):
+            def f(dp, dl):
+                return _residual_one(se3.retract(pose, dp), pt + dl, uv, ur, h, cam)
+            z6, z3 = jnp.zeros(6), jnp.zeros(3)
+            return f(z6, z3), jax.jacfwd(f, 0)(z6, z3), jax.jacfwd(f, 1)(z6, z3)
+
+        fn = jax.vmap(jax.vmap(obs_fn, in_axes=(None, 0, 0, 0, 0)),
+                      in_axes=(0, 0, 0, 0, 0))
+        r2, Jp2, Jl2 = fn(poses, gathered, p.obs_uv, p.obs_ur, has_ur)
+        np.testing.assert_allclose(np.asarray(r), np.asarray(r2), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(Jp), np.asarray(Jp2), atol=2e-2, rtol=1e-3)
+        np.testing.assert_allclose(np.asarray(Jl), np.asarray(Jl2), atol=2e-2, rtol=1e-3)
+
+    def test_inv3x3(self):
+        from orb_slam2_refactored_tpu.optim.ba import _inv3x3
+        rng = np.random.default_rng(1)
+        A = rng.normal(0, 1, (64, 3, 3)).astype(np.float32)
+        A = A @ A.transpose(0, 2, 1) + 0.5 * np.eye(3)  # SPD, well-conditioned
+        Ainv = np.asarray(_inv3x3(jnp.asarray(A)))
+        np.testing.assert_allclose(
+            Ainv @ A, np.tile(np.eye(3, dtype=np.float32), (64, 1, 1)),
+            atol=2e-3,
+        )
