@@ -136,7 +136,8 @@ def main():
         args = (img_j, dep_j, tracker.last_frame, tracker.last_mp_dev,
                 tracker.map, tracker.pose_dev, tracker.velocity_dev,
                 jnp.int32(max(tracker.ref_kf, 0)),
-                tracker.mp_vis_dev, tracker.mp_found_dev)
+                tracker.mp_vis_dev, tracker.mp_found_dev,
+                tracker.local_mask_dev)
         t_step = _stage(tracker._step, *args, rt=rt)
         t_prep = _stage(tracker._prepare, img_j, dep_j, rt=rt)
         print(f"[bench] device: step {t_step*1e3:.1f} ms "

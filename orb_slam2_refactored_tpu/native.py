@@ -113,6 +113,8 @@ class NativeMapGraph:
             (cap.max_keyframes, cap.max_features), np.int32
         )
         self.big_change_counter = 0
+        self.pt_quarantine: List = []
+        self.recycled_log: List[int] = []
         self._obs_points: Set[int] = set()
         self.loop_edges = _LoopEdges(self)
         self.parent = _Parent(self)
@@ -142,11 +144,24 @@ class NativeMapGraph:
         return s
 
     def alloc_point_slots(self, n: int) -> np.ndarray:
-        if self.next_point + n > self.cap.max_points:
-            raise RuntimeError(f"map-point capacity {self.cap.max_points} exhausted")
-        out = np.arange(self.next_point, self.next_point + n, dtype=np.int64)
-        self.next_point += n
-        return out
+        """Allocate UP TO n slots; recycles quarantined dead slots at
+        capacity (see map_state.MapGraph.alloc_point_slots)."""
+        fresh = min(n, self.cap.max_points - self.next_point)
+        slots = list(range(self.next_point, self.next_point + fresh))
+        self.next_point += fresh
+        if len(slots) < n and self.pt_quarantine:
+            ready = [p for p, stamp in self.pt_quarantine
+                     if self.num_kfs - stamp >= 3]
+            take = ready[: n - len(slots)]
+            if take:
+                taken = set(take)
+                self.pt_quarantine = [
+                    (p, st) for p, st in self.pt_quarantine if p not in taken
+                ]
+                slots.extend(take)
+                # the tracker zeroes found/visible counters of reused slots
+                self.recycled_log.extend(take)
+        return np.asarray(slots, np.int64)
 
     # -- alive flags (mirrored) ----------------------------------------
 
@@ -220,6 +235,7 @@ class NativeMapGraph:
         for kf, feat in pairs:
             if self.kf_row[kf, feat] == pt:
                 self.kf_row[kf, feat] = -1
+        self.pt_quarantine.append((int(pt), self.num_kfs))
         return pairs
 
     def kill_keyframe(self, kf: int):

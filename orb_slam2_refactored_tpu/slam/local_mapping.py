@@ -725,8 +725,11 @@ class LocalMapper:
             feats = np.nonzero(good_b[bi] & ~taken)[0]
             if len(feats) == 0:
                 continue
-            taken[feats] = True
             new_slots = graph.alloc_point_slots(len(feats))
+            if len(new_slots) == 0:
+                break  # point capacity exhausted: stop creating, keep running
+            feats = feats[: len(new_slots)]
+            taken[feats] = True
             slots_all[bi, feats] = new_slots
             for f, s in zip(feats, new_slots):
                 s = int(s)

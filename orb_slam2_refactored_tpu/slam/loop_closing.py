@@ -72,9 +72,15 @@ class LoopCloser:
     # ------------------------------------------------------------------
 
     def add_keyframe_bow(self, m: MapArrays, kf: int):
-        """Compute + store the BoW vector of a keyframe (ComputeBoW analog)."""
+        """Compute + store the BoW vector of a keyframe (ComputeBoW analog).
+        Refits the idf weights to the live corpus every 8 keyframes (the
+        reference's idf comes baked into ORBvoc.txt; a live-trained
+        vocabulary must track its own document frequencies)."""
         v, _ = self.db.compute_bow(m.kf_desc[kf], m.kf_feat_valid[kf])
         self.db.add(kf, v)
+        self._n_indexed = getattr(self, "_n_indexed", 0) + 1
+        if self._n_indexed % 8 == 0:
+            self.db.refit_idf()
         return v
 
     def detect(self, m: MapArrays, graph: MapGraph, kf: int, bow_vec) -> Optional[int]:
@@ -95,7 +101,9 @@ class LoopCloser:
                 min_score = min(min_score, float(scores[nb]))
         min_score = max(min_score * 0.8, 0.02)
         exclude = set(neighbors) | {kf}
-        cands = self.db.detect_candidates(bow_vec, exclude, min_score)
+        cands = self.db.detect_candidates_grouped(
+            bow_vec, exclude, min_score, graph
+        )
         if not cands:
             self.consistent_groups = []
             return None

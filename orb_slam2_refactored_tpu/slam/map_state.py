@@ -144,6 +144,11 @@ class MapGraph:
         self.pt_first_kf: np.ndarray = np.full(cap.max_points, -1, np.int64)
         self.pt_alive: np.ndarray = np.zeros(cap.max_points, bool)
         self.kf_watermark: np.ndarray = np.zeros(cap.max_keyframes, np.int64)
+        # dead point slots enter quarantine and become reusable a few
+        # keyframes later (stale device references — last-frame assignments,
+        # in-flight feat_mp — must all have cycled out first)
+        self.pt_quarantine: List = []
+        self.recycled_log: List[int] = []
         self.origin_kf: int = -1
         self.big_change_counter = 0
 
@@ -167,10 +172,27 @@ class MapGraph:
         return slot
 
     def alloc_point_slots(self, n: int) -> np.ndarray:
-        if self.next_point + n > self.cap.max_points:
-            raise RuntimeError(f"map-point capacity {self.cap.max_points} exhausted")
-        slots = list(range(self.next_point, self.next_point + n))
-        self.next_point += n
+        """Allocate UP TO n point slots (callers must handle fewer).
+
+        Fresh slots first; at capacity, recycle quarantined dead slots that
+        have aged >= 3 keyframes (graceful degradation instead of the
+        round-1 RuntimeError: when nothing is recyclable the map simply
+        stops growing, like the reference under memory pressure)."""
+        fresh = min(n, self.cap.max_points - self.next_point)
+        slots = list(range(self.next_point, self.next_point + fresh))
+        self.next_point += fresh
+        if len(slots) < n and self.pt_quarantine:
+            ready = [p for p, stamp in self.pt_quarantine
+                     if self.num_kfs - stamp >= 3]
+            take = ready[: n - len(slots)]
+            if take:
+                taken = set(take)
+                self.pt_quarantine = [
+                    (p, st) for p, st in self.pt_quarantine if p not in taken
+                ]
+                slots.extend(take)
+                # the tracker zeroes found/visible counters of reused slots
+                self.recycled_log.extend(take)
         return np.asarray(slots, np.int64)
 
     # -- covisibility -----------------------------------------------------
@@ -255,6 +277,7 @@ class MapGraph:
         for kf, feat in pairs:
             if self.kf_row[kf, feat] == pt:
                 self.kf_row[kf, feat] = -1
+        self.pt_quarantine.append((pt, self.num_kfs))
         return pairs
 
     # -- accessor interface shared with native.NativeMapGraph -------------

@@ -69,6 +69,7 @@ def save_map(tracker: Tracker, path: str):
             "voc_words": np.asarray(lc.db.voc.words),
             "voc_idf": np.asarray(lc.db.voc.idf),
             "voc_bow": np.asarray(lc.db.bow),
+            "voc_db_idf": np.asarray(lc.db.idf),  # live-refit idf state
             "voc_active": lc.db.active,
             "voc_fix_scale": np.int64(lc.fix_scale),
         }
@@ -159,6 +160,8 @@ def load_map(tracker: Tracker, path: str):
         )
         lc.db.bow = jnp.asarray(z["voc_bow"])
         lc.db.active = z["voc_active"].copy()
+        if "voc_db_idf" in z.files:
+            lc.db.idf = jnp.asarray(z["voc_db_idf"])
         tracker.loop_closer = lc
 
     tracker.pose = z["tracker_pose"]

@@ -52,6 +52,46 @@ def _np_compose(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return np.concatenate([q, t.astype(np.float32)])
 
 
+def corrected_frame_poses(tracker: Tracker) -> np.ndarray:
+    """Per-frame world->camera poses with loop/GBA corrections applied.
+
+    The reference stores Tcr (pose relative to the reference KF at track
+    time) and composes with the KF's CURRENT pose at save time, walking
+    the spanning tree through culled reference KFs via their recorded
+    Tcp (`SaveTrajectoryTUM`, src/System.cc:690-747). Frames without a
+    Tcr record (losses, relocalization frames) keep their raw pose.
+    """
+    entries = tracker.traj_entries
+    if not entries:
+        return np.stack(tracker.trajectory) if tracker.trajectory else np.zeros((0, 7), np.float32)
+    kf_pose = np.asarray(tracker.map.kf_pose)  # ONE device read
+    g = tracker.graph
+    tcp_map = getattr(g, "kf_tcp", {})
+    out = np.zeros((len(entries), 7), np.float32)
+    ident = np.array([1, 0, 0, 0, 0, 0, 0], np.float32)
+    for i, e in enumerate(entries):
+        if e["lost"] or e["tcr"] is None or e["ref"] < 0:
+            out[i] = e["pose"]
+            continue
+        # walk culled reference KFs: Trw accumulates Tcp hops
+        # (host numpy composition — eager jnp through the TPU tunnel
+        # would compile remotely per op)
+        ref = e["ref"]
+        trw = ident
+        hops = 0
+        while not g.kf_alive[ref] and ref in tcp_map and hops < 64:
+            parent, tcp = tcp_map[ref]
+            trw = _np_compose(trw, np.asarray(tcp))
+            ref = parent
+            hops += 1
+        if not g.kf_alive[ref]:
+            out[i] = e["pose"]  # unwalkable (reset wiped the map)
+            continue
+        trw = _np_compose(trw, kf_pose[ref])
+        out[i] = _np_compose(e["tcr"], trw)
+    return out
+
+
 class SlamSystem:
     def __init__(self, tracker: Tracker, sensor: int, settings: Settings):
         self.tracker = tracker
@@ -181,44 +221,7 @@ class SlamSystem:
         return np.asarray(se3.inverse(jnp.asarray(traj))) if len(traj) else traj
 
     def corrected_frame_poses(self) -> np.ndarray:
-        """Per-frame world->camera poses with loop/GBA corrections applied.
-
-        The reference stores Tcr (pose relative to the reference KF at track
-        time) and composes with the KF's CURRENT pose at save time, walking
-        the spanning tree through culled reference KFs via their recorded
-        Tcp (`SaveTrajectoryTUM`, src/System.cc:690-747). Frames without a
-        Tcr record (losses, relocalization frames) keep their raw pose.
-        """
-        tracker = self.tracker
-        entries = tracker.traj_entries
-        if not entries:
-            return np.stack(tracker.trajectory) if tracker.trajectory else np.zeros((0, 7), np.float32)
-        kf_pose = np.asarray(tracker.map.kf_pose)  # ONE device read
-        g = tracker.graph
-        tcp_map = getattr(g, "kf_tcp", {})
-        out = np.zeros((len(entries), 7), np.float32)
-        ident = np.array([1, 0, 0, 0, 0, 0, 0], np.float32)
-        for i, e in enumerate(entries):
-            if e["lost"] or e["tcr"] is None or e["ref"] < 0:
-                out[i] = e["pose"]
-                continue
-            # walk culled reference KFs: Trw accumulates Tcp hops
-            # (host numpy composition — eager jnp through the TPU tunnel
-            # would compile remotely per op)
-            ref = e["ref"]
-            trw = ident
-            hops = 0
-            while not g.kf_alive[ref] and ref in tcp_map and hops < 64:
-                parent, tcp = tcp_map[ref]
-                trw = _np_compose(trw, np.asarray(tcp))
-                ref = parent
-                hops += 1
-            if not g.kf_alive[ref]:
-                out[i] = e["pose"]  # unwalkable (reset wiped the map)
-                continue
-            trw = _np_compose(trw, kf_pose[ref])
-            out[i] = _np_compose(e["tcr"], trw)
-        return out
+        return corrected_frame_poses(self.tracker)
 
     def save_trajectory_tum(self, path: str, corrected: bool = True):
         """TUM format: `t tx ty tz qx qy qz qw` per frame

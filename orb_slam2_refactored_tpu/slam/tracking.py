@@ -58,6 +58,11 @@ class TrackerConfig:
     map_capacity: MapCapacity = None
     mm_radius: float = 15.0         # motion-model search window (px at level 0)
     local_radius: float = 3.0       # local-map search window
+    # >0: restrict map matching to points observed by the N best covisible
+    # keyframes of the reference KF (Tracking::LocalMap, src/Tracking.cc:55-185,
+    # reference N<=80). 0 = brute-force the whole map (optimal below ~100k
+    # points on TPU; the window re-enters for KITTI-scale maps).
+    local_map_window: int = 0
     min_matches_mm: int = 20
     min_inliers_track: int = 10
     kf_ref_ratio: float = 0.75      # NeedNewKeyFrame ratio gate (:522 thRefRatio)
@@ -145,6 +150,8 @@ class Tracker:
         P = cfg.map_capacity.max_points
         self.mp_vis_dev = jnp.zeros((P,), jnp.int32)
         self.mp_found_dev = jnp.zeros((P,), jnp.int32)
+        # covisibility-window point mask (all-true = whole-map matching)
+        self.local_mask_dev = jnp.ones((P,), bool)
         self.state = TrackState.NOT_INITIALIZED
         if cfg.enable_local_ba:
             from .local_mapping import LocalMapper
@@ -261,12 +268,12 @@ class Tracker:
 
     def _step_stereo_impl(
         self, img_l, img_r, last: FrameData, last_mp, m: MapArrays,
-        pose_last, velocity, ref_kf, mp_vis, mp_found,
+        pose_last, velocity, ref_kf, mp_vis, mp_found, local_mask,
     ):
         frame = self._prepare_stereo_impl(img_l, img_r)
         (pose, feat_mp, n_inl, n_mm, t_close, u_close, used_ref,
          found_mask, vis_mask, tcr) = self._track_impl(
-            frame, last, last_mp, m, pose_last, velocity, ref_kf
+            frame, last, last_mp, m, pose_last, velocity, ref_kf, local_mask
         )
         vel_new = se3.compose(pose, se3.inverse(pose_last))
         host_pack = jnp.concatenate(
@@ -315,6 +322,7 @@ class Tracker:
         pose_last,
         velocity,
         ref_kf,
+        local_mask,
     ):
         cfg = self.cfg
         pred = se3.compose(velocity, pose_last)
@@ -433,7 +441,7 @@ class Tracker:
         lm, pt_vis = matching.search_by_projection_with_vis(
             frame.xy, frame.level, frame.desc, frame.valid & ~taken,
             m.mp_pos, m.mp_desc, m.mp_normal, m.mp_min_dist, m.mp_max_dist,
-            m.mp_valid, r1.pose, self.cam, self.sf,
+            m.mp_valid & local_mask, r1.pose, self.cam, self.sf,
             # after a fallback the pose is coarser: widen the window like
             # the reference's post-relocalization search (radius 10,
             # src/ORBmatcher.cc reloc overload / src/Tracking.cc:441)
@@ -489,7 +497,7 @@ class Tracker:
 
     def _step_impl(
         self, img, depth_img, last: FrameData, last_mp, m: MapArrays,
-        pose_last, velocity, ref_kf, mp_vis, mp_found,
+        pose_last, velocity, ref_kf, mp_vis, mp_found, local_mask,
     ):
         """Fused per-frame program: extract + depth-associate + track.
 
@@ -501,7 +509,7 @@ class Tracker:
         frame = self._prepare_impl(img, depth_img)
         (pose, feat_mp, n_inl, n_mm, t_close, u_close, used_ref,
          found_mask, vis_mask, tcr) = self._track_impl(
-            frame, last, last_mp, m, pose_last, velocity, ref_kf
+            frame, last, last_mp, m, pose_last, velocity, ref_kf, local_mask
         )
         vel_new = se3.compose(pose, se3.inverse(pose_last))
         host_pack = jnp.concatenate(
@@ -581,7 +589,7 @@ class Tracker:
                 jnp.asarray(img), jnp.asarray(depth),
                 self.last_frame, self.last_mp_dev, self.map,
                 self.pose_dev, self.velocity_dev, jnp.int32(max(self.ref_kf, 0)),
-                self.mp_vis_dev, self.mp_found_dev,
+                self.mp_vis_dev, self.mp_found_dev, self.local_mask_dev,
             ),
             timestamp,
         )
@@ -596,7 +604,7 @@ class Tracker:
                 jnp.asarray(img_l), jnp.asarray(img_r),
                 self.last_frame, self.last_mp_dev, self.map,
                 self.pose_dev, self.velocity_dev, jnp.int32(max(self.ref_kf, 0)),
-                self.mp_vis_dev, self.mp_found_dev,
+                self.mp_vis_dev, self.mp_found_dev, self.local_mask_dev,
             ),
             timestamp,
         )
@@ -635,10 +643,11 @@ class Tracker:
         """Track an already-prepared mono frame via the shared program."""
         if not hasattr(self, "_mono_track"):
             def impl(fr, last, last_mp, m, pose_last, velocity, ref_kf,
-                     mp_vis, mp_found):
+                     mp_vis, mp_found, local_mask):
                 (pose, feat_mp, n_inl, n_mm, t_close, u_close, used_ref,
                  found_mask, vis_mask, tcr) = self._track_impl(
-                    fr, last, last_mp, m, pose_last, velocity, ref_kf
+                    fr, last, last_mp, m, pose_last, velocity, ref_kf,
+                    local_mask
                 )
                 vel_new = se3.compose(pose, se3.inverse(pose_last))
                 host_pack = jnp.concatenate(
@@ -653,7 +662,7 @@ class Tracker:
         return self._mono_track(
             frame, self.last_frame, self.last_mp_dev, self.map,
             self.pose_dev, self.velocity_dev, jnp.int32(max(self.ref_kf, 0)),
-            self.mp_vis_dev, self.mp_found_dev,
+            self.mp_vis_dev, self.mp_found_dev, self.local_mask_dev,
         )
 
     def _initialize_mono(self, frame: FrameData, timestamp: float):
@@ -716,6 +725,10 @@ class Tracker:
         # scatter landmarks + both observations via the triangulation insert
         slots_np = np.full(frame.capacity, -1, np.int32)
         new_slots = self.graph.alloc_point_slots(n_good)
+        if len(new_slots) < n_good:
+            sel = np.nonzero(good)[0][: len(new_slots)]
+            good = np.zeros_like(good)
+            good[sel] = True
         slots_np[np.nonzero(good)[0]] = new_slots
         lm = self.local_mapper
         if lm is None:
@@ -906,7 +919,9 @@ class Tracker:
             self.frames_since_kf += 1
             need_kf = self._need_new_keyframe(n_inl, tracked_close, untracked_close)
             if need_kf:
-                self._create_keyframe(frame, np.asarray(feat_mp_dev), timestamp)
+                slot = self._create_keyframe(frame, np.asarray(feat_mp_dev), timestamp)
+                if slot < 0:  # capacity-frozen map: keep frame assignments
+                    self.last_mp_dev = feat_mp_dev
             else:
                 self.last_mp_dev = feat_mp_dev
             self.last_frame = frame
@@ -1011,6 +1026,7 @@ class Tracker:
         P = self.cfg.map_capacity.max_points
         self.mp_vis_dev = jnp.zeros((P,), jnp.int32)
         self.mp_found_dev = jnp.zeros((P,), jnp.int32)
+        self.local_mask_dev = jnp.ones((P,), bool)
         if self.loop_closer is not None:
             self.loop_closer.db.clear()
             self.loop_closer.consistent_groups = []
@@ -1045,6 +1061,11 @@ class Tracker:
         is the default and this is the analog injection point)."""
         self.vocabulary = voc
 
+    # keyframes whose descriptors accumulate before vocabulary training:
+    # a single view's words alias badly; 4 views of the scene give the
+    # k-majority clustering real appearance diversity
+    VOCAB_TRAIN_KFS = 4
+
     def _loop_closing_stage(self, frame: FrameData, slot: int):
         import jax as _jax
 
@@ -1052,9 +1073,23 @@ class Tracker:
         from .vocabulary import train_vocabulary
 
         if self.loop_closer is None:
+            pending = getattr(self, "_vocab_pending", None)
+            if pending is None:
+                pending = self._vocab_pending = []
+            pending.append(slot)
             if self.vocabulary is None:
-                valid = np.asarray(frame.valid)
-                desc = np.asarray(frame.desc)[valid]
+                if len(pending) < self.VOCAB_TRAIN_KFS:
+                    return
+                # pool the pending keyframes' descriptors (one small read
+                # per KF, once per session) and train
+                descs = []
+                kf_desc = np.asarray(self.map.kf_desc[jnp.asarray(pending)])
+                kf_val = np.asarray(
+                    self.map.kf_feat_valid[jnp.asarray(pending)]
+                )
+                for i in range(len(pending)):
+                    descs.append(kf_desc[i][kf_val[i]])
+                desc = np.concatenate(descs)
                 if len(desc) < 32:
                     return
                 self.vocabulary = train_vocabulary(
@@ -1067,6 +1102,12 @@ class Tracker:
                 self.cfg.n_levels, self.cfg.scale_factor,
                 fix_scale=self.cfg.bf > 0,
             )
+            # index every pending keyframe that is still alive (minus the
+            # current one, indexed below)
+            for k in pending[:-1]:
+                if self.graph.kf_alive[k]:
+                    self.loop_closer.add_keyframe_bow(self.map, int(k))
+            self._vocab_pending = []
         bow = self.loop_closer.add_keyframe_bow(self.map, slot)
         loop_kf = self.loop_closer.detect(self.map, self.graph, slot, bow)
         if loop_kf is None:
@@ -1138,6 +1179,17 @@ class Tracker:
         create_mask: Optional[np.ndarray] = None,
     ):
         cfg = self.cfg
+        if self.graph.num_kfs >= cfg.map_capacity.max_keyframes:
+            # keyframe capacity exhausted: keep tracking against the frozen
+            # map instead of crashing mid-run (graceful degradation; culling
+            # normally keeps this from triggering)
+            if not getattr(self, "_warned_kf_cap", False):
+                self._warned_kf_cap = True
+                import sys
+                print("[tpu-slam] keyframe capacity reached; map growth "
+                      "stopped", file=sys.stderr)
+            self.frames_since_kf = 0
+            return -1
         slot = self.graph.alloc_kf_slot()
         if create_mask is None:
             valid = np.asarray(frame.valid)
@@ -1156,7 +1208,16 @@ class Tracker:
         n_new = int(create_mask.sum())
         new_slots = np.full(frame.capacity, INVALID, np.int64)
         if n_new:
-            new_slots[create_mask] = self.graph.alloc_point_slots(n_new)
+            got = self.graph.alloc_point_slots(n_new)
+            if len(got) < n_new:
+                # capacity-tight: keep only the closest candidate points
+                # (one rare device read; the common path never pays it)
+                cand = np.nonzero(create_mask)[0]
+                depth_np = np.asarray(frame.depth)
+                keep = cand[np.argsort(depth_np[cand])[: len(got)]]
+                create_mask = np.zeros_like(create_mask)
+                create_mask[keep] = True
+            new_slots[create_mask] = got[: int(create_mask.sum())]
         self.map, packed_dev = self._insert_kf(
             self.map, slot, frame, jnp.asarray(self.pose),
             jnp.asarray(feat_mp.astype(np.int32)),
@@ -1198,6 +1259,34 @@ class Tracker:
                 self._gba_pending = None
                 if self.last_loop_info is not None:
                     self.last_loop_info.update(ginfo)
+
+        # covisibility-window local-map mask rebuild (opt-in for large maps)
+        if cfg.local_map_window > 0:
+            P = cfg.map_capacity.max_points
+            kfs = [slot] + self.graph.covis_neighbors(
+                slot, top_k=cfg.local_map_window
+            )
+            mask = np.zeros(P, bool)
+            rows = self.graph.kf_row[kfs]
+            mask[rows[rows >= 0]] = True
+            self.local_mask_dev = jnp.asarray(mask)
+
+        # zero the found/visible counters of any recycled point slots (their
+        # previous life's statistics must not feed ratio culling)
+        rec = getattr(self.graph, "recycled_log", None)
+        if rec:
+            self.graph.recycled_log = []
+            if not hasattr(self, "_zero_counters"):
+                self._zero_counters = jax.jit(
+                    lambda v, f, s: (v.at[s].set(0, mode="drop"),
+                                     f.at[s].set(0, mode="drop"))
+                )
+            pad = np.full(max(((len(rec) + 511) // 512) * 512, 512),
+                          self.cfg.map_capacity.max_points, np.int32)
+            pad[: len(rec)] = rec
+            self.mp_vis_dev, self.mp_found_dev = self._zero_counters(
+                self.mp_vis_dev, self.mp_found_dev, jnp.asarray(pad)
+            )
 
         # loop closing stage: BoW index + detection + Sim3 + correction
         if self.cfg.enable_loop_closing:

@@ -129,14 +129,44 @@ def save_dbow2_text(voc: Vocabulary, path: str):
             f.write(f"0 1 {byte_str} {float(idf[i]):.6f}\n")
 
 
-def transform(voc: Vocabulary, desc, valid):
-    """Descriptors u32[N,8] -> L1-normalized tf-idf word vector f32[W]
-    (TemplatedVocabulary::transform analog) plus per-feature word ids."""
-    d = hamming.hamming_matrix(desc, voc.words)  # [N,W]
-    word = jnp.argmin(d, axis=1)
+def quantize(voc: Vocabulary, desc):
+    """Per-descriptor word ids u32[N,8] -> i32[N] (nearest leaf centroid).
+
+    Chunks the word axis so 1M-word vocabularies (full ORBvoc.txt scale)
+    never materialize an [N, W] distance matrix (4GB at N=1000, W=1M)."""
+    W = voc.n_words
+    CHUNK = 1 << 16
+    if W <= CHUNK:
+        return jnp.argmin(hamming.hamming_matrix(desc, voc.words), axis=1)
+    n = desc.shape[0]
+    best_d = jnp.full((n,), hamming.BIG, jnp.int32)
+    best_i = jnp.zeros((n,), jnp.int32)
+    for s in range(0, W, CHUNK):
+        e = min(s + CHUNK, W)
+        d = hamming.hamming_matrix(desc, voc.words[s:e])
+        i = jnp.argmin(d, axis=1)
+        dm = jnp.min(d, axis=1)
+        take = dm < best_d
+        best_d = jnp.where(take, dm, best_d)
+        best_i = jnp.where(take, i.astype(jnp.int32) + s, best_i)
+    return best_i
+
+
+def word_counts(voc: Vocabulary, desc, valid):
+    """Raw word-count vector f32[W] + per-feature word ids (tf part of
+    TemplatedVocabulary::transform; idf applies at scoring time so it can be
+    refit to the live corpus without recomputing stored rows)."""
+    word = quantize(voc, desc)
     counts = jnp.zeros((voc.n_words,), jnp.float32).at[word].add(
         valid.astype(jnp.float32)
     )
+    return counts, word
+
+
+def transform(voc: Vocabulary, desc, valid):
+    """Descriptors u32[N,8] -> L1-normalized tf-idf word vector f32[W]
+    (TemplatedVocabulary::transform analog) plus per-feature word ids."""
+    counts, word = word_counts(voc, desc, valid)
     v = counts * voc.idf
     v = v / jnp.maximum(v.sum(), 1e-9)
     return v, word
@@ -149,25 +179,43 @@ def l1_similarity(a, b):
 
 
 class KeyFrameDatabase:
-    """Dense-matrix place recognition index over keyframe word vectors.
+    """Dense-matrix place recognition index over keyframe word-count rows.
 
-    `add/erase` maintain rows of [KF_cap, W]; `query` is one device matvec.
-    Candidate post-filtering (min-score vs covisible neighbors, covisibility
-    group accumulation, 0.75*best retain — `src/KeyFrameDatabase.cc:68-171`)
-    happens host-side on the returned scores.
+    Rows store RAW tf counts [KF_cap, W]; the idf weighting and L1
+    normalization apply inside the scoring matvec, so `refit_idf` retunes
+    the index to the live corpus without recomputing stored rows (the
+    reference bakes idf at vocabulary-training time,
+    `Thirdparty/DBoW2/DBoW2/TemplatedVocabulary.h`; a live-trained
+    vocabulary must refit as keyframes arrive).
     """
 
     def __init__(self, voc: Vocabulary, kf_capacity: int):
         self.voc = voc
-        self.bow = jnp.zeros((kf_capacity, voc.n_words), jnp.float32)
+        self.bow = jnp.zeros((kf_capacity, voc.n_words), jnp.float32)  # counts
         self.active = np.zeros(kf_capacity, bool)
-        self._transform = jax.jit(lambda d, v: transform(self.voc, d, v))
-        self._scores = jax.jit(
-            lambda mat, q: jnp.sum(jnp.minimum(mat, q[None, :]), axis=-1) * 2.0
+        self.idf = jnp.asarray(voc.idf)
+        self._count = jax.jit(lambda d, v: word_counts(self.voc, d, v))
+
+        def scores_fn(mat, q, idf):
+            wk = mat * idf[None, :]
+            wk = wk / jnp.maximum(wk.sum(-1, keepdims=True), 1e-9)
+            wq = q * idf
+            wq = wq / jnp.maximum(wq.sum(), 1e-9)
+            sim = 2.0 * jnp.sum(jnp.minimum(wk, wq[None, :]), axis=-1)
+            common = jnp.sum(((mat > 0) & (q > 0)[None, :]).astype(jnp.int32), -1)
+            return sim, common
+
+        self._scores2 = jax.jit(scores_fn)
+        self._refit = jax.jit(
+            lambda mat, act: jnp.log(
+                jnp.maximum(act.sum(), 1.0)
+                / (1.0 + jnp.sum(((mat > 0) & act[:, None]).astype(jnp.float32), 0))
+            )
         )
 
     def compute_bow(self, desc, valid):
-        return self._transform(desc, valid)
+        """-> (word-count vector f32[W], per-feature word ids)."""
+        return self._count(desc, valid)
 
     def add(self, kf: int, bow_vec):
         self.bow = self.bow.at[kf].set(bow_vec)
@@ -181,18 +229,28 @@ class KeyFrameDatabase:
         self.bow = jnp.zeros_like(self.bow)
         self.active[:] = False
 
-    def scores_against_all(self, query_vec) -> np.ndarray:
-        """L1 similarity of `query_vec` vs every stored keyframe (dense)."""
-        s = np.array(self._scores(self.bow, query_vec))
+    def refit_idf(self):
+        """Refit idf to the indexed corpus: idf_w = log(N / (1 + df_w))."""
+        idf = self._refit(self.bow, jnp.asarray(self.active))
+        self.idf = jnp.maximum(idf, 0.0)
+
+    def _score_common(self, query_vec):
+        s, cw = self._scores2(self.bow, query_vec, self.idf)
+        s = np.array(s)
+        cw = np.array(cw)
         s[~self.active] = -1.0
-        return s
+        cw[~self.active] = 0
+        return s, cw
+
+    def scores_against_all(self, query_vec) -> np.ndarray:
+        """Weighted L1 similarity of `query_vec` vs every stored keyframe."""
+        return self._score_common(query_vec)[0]
 
     def detect_candidates(
         self, query_vec, exclude: set, min_score: float, max_candidates: int = 10
     ):
-        """Shared candidate logic for loops (`DetectLoopCandidates`) and
-        relocalization (`DetectRelocalizationCandidates`): score all, drop the
-        excluded (connected) set, keep >= max(min_score, 0.75 * best)."""
+        """Simple candidate logic: score all, drop the excluded (connected)
+        set, keep >= max(min_score, 0.75 * best)."""
         s = self.scores_against_all(query_vec)
         for k in exclude:
             if 0 <= k < len(s):
@@ -204,3 +262,37 @@ class KeyFrameDatabase:
         cands = np.nonzero(s >= th)[0]
         order = np.argsort(-s[cands])
         return [int(c) for c in cands[order][:max_candidates]]
+
+    def detect_candidates_grouped(
+        self, query_vec, exclude: set, min_score: float, graph,
+        max_candidates: int = 10,
+    ):
+        """Full DetectLoopCandidates semantics
+        (`/root/reference/src/KeyFrameDatabase.cc:68-171`): shared-word 0.8
+        gate, per-candidate covisibility-group accumulated scores, retain
+        groups >= 0.75 * best accumulated score, return each kept group's
+        best-scoring keyframe."""
+        s, cw = self._score_common(query_vec)
+        for k in exclude:
+            if 0 <= k < len(s):
+                s[k] = -1.0
+                cw[k] = 0
+        if cw.max() == 0:
+            return []
+        min_common = max(int(0.8 * cw.max()), 1)
+        cands = [int(k) for k in np.nonzero((cw >= min_common) & (s >= min_score))[0]]
+        if not cands:
+            return []
+        # accumulate scores over each candidate's covisibility group (:119-152)
+        groups = []
+        for c in cands:
+            group = [c] + [g for g in graph.covis_neighbors(c, top_k=10)
+                           if s[g] >= 0]
+            acc = float(sum(s[g] for g in group if s[g] > 0))
+            best_kf = max(group, key=lambda g: s[g])
+            groups.append((acc, best_kf))
+        best_acc = max(a for a, _ in groups)
+        th = 0.75 * best_acc
+        kept = sorted({bk for a, bk in groups if a >= th},
+                      key=lambda k: -s[k])
+        return kept[:max_candidates]
