@@ -648,21 +648,33 @@ class LocalMapper:
         win_idx[n_f:n_f + len(frontier)] = frontier
         win_valid[n_f:n_f + len(frontier)] = True
 
-        old_rows = graph.kf_row.copy()
+        old_rows = graph.kf_row.copy()  # pre-BA rows (what outliers refer to)
         m, outlier_dev, c0, c1 = self._ba(
             m, jnp.asarray(win_idx), jnp.asarray(win_free),
             jnp.asarray(win_valid),
         )
         for x in (outlier_dev, c0, c1):
             x.copy_to_host_async()
-        # outliers = observations of FREE frames that fail the chi2 gate
-        # (the reference erases only window edges, src/Optimizer.cc:677-716)
+        # host-side outlier erasure defers to the NEXT keyframe: by then the
+        # async copy has crossed the tunnel (zero blocking read), and the
+        # one-keyframe lag matches the reference's mapping-thread asynchrony.
+        # The device kf_mp was already cleaned in-graph by _ba_impl.
+        self._pending_ba_erase = (old_rows, outlier_dev)
+        return m, {"cost0_dev": c0, "cost1_dev": c1, "free": n_f}
+
+    def drain_ba_erase(self, m: MapArrays, graph: MapGraph):
+        """Apply the PREVIOUS keyframe's BA outlier erasure to the host
+        graph (+ orphan cascade). Called at the start of the next keyframe
+        stage, when the async outlier copy has long since landed."""
+        p = getattr(self, "_pending_ba_erase", None)
+        if p is None:
+            return m
+        self._pending_ba_erase = None
+        old_rows, outlier_dev = p
         outlier = np.asarray(outlier_dev)
         touched = self.erase_outlier_obs(graph, old_rows, outlier)
-        m, n_orphaned = self.kill_orphan_points(m, graph, touched)
-        return m, {"cost0": float(c0), "cost1": float(c1),
-                   "n_outliers": int(outlier.sum()), "free": n_f,
-                   "n_orphaned": n_orphaned}
+        m, _ = self.kill_orphan_points(m, graph, touched)
+        return m
 
     def erase_outlier_obs(self, graph: MapGraph, old_kf_mp: np.ndarray,
                           outlier: np.ndarray):

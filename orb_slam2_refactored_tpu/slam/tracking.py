@@ -1031,6 +1031,8 @@ class Tracker:
             self.loop_closer.db.clear()
             self.loop_closer.consistent_groups = []
         self._gba_pending = None
+        if self.local_mapper is not None:
+            self.local_mapper._pending_ba_erase = None
         self.pose = np.asarray(se3.identity())
         self.velocity = np.asarray(se3.identity())
         self.pose_dev = jnp.asarray(self.pose)
@@ -1295,6 +1297,8 @@ class Tracker:
         # local mapping stage (reference Update order, src/LocalMapping.cc:93-130:
         # triangulate -> fuse neighbors -> cull points -> local BA -> cull KFs)
         if self.local_mapper is not None and len(self.graph.alive_kfs()) >= 2:
+            with self.timer.time("kf.drain_ba"):
+                self.map = self.local_mapper.drain_ba_erase(self.map, self.graph)
             with self.timer.time("kf.triangulate"):
                 self.map, n_tri = self.local_mapper.triangulate_new_points(
                     self.map, self.graph, slot
@@ -1306,9 +1310,14 @@ class Tracker:
                     self.map, self.graph, slot
                 )
             with self.timer.time("kf.cull_points"):
+                # the found/visible-ratio check needs a counter download
+                # (~1 tunnel RT): run it every other keyframe — the trial
+                # window spans ~4 keyframes, so every point still gets
+                # ratio-checked at least once
+                vf = ((self.mp_vis_dev, self.mp_found_dev)
+                      if slot % 2 == 0 else None)
                 self.map, _ = self.local_mapper.cull_points(
-                    self.map, self.graph, slot,
-                    vis_found=(self.mp_vis_dev, self.mp_found_dev),
+                    self.map, self.graph, slot, vis_found=vf,
                 )
             with self.timer.time("kf.local_ba"):
                 self.map, info = self.local_mapper.local_ba(self.map, self.graph, slot)
