@@ -27,7 +27,7 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-N_FRAMES = int(os.environ.get("BENCH_FRAMES", "100"))
+N_FRAMES = int(os.environ.get("BENCH_FRAMES", "200"))
 # warmup must cover several keyframe cycles: the KF-stage programs (and
 # their padding-bucket variants) compile lazily, and a single remote compile
 # through the tunnel costs seconds

@@ -65,6 +65,34 @@ def brief_pattern() -> np.ndarray:
 
 
 @functools.lru_cache(maxsize=1)
+def learned_pattern() -> np.ndarray:
+    """[256,2,2] int32: the standard learned ORB test-pair table.
+
+    This is the published greedy-search pattern from the ORB paper (Rublee
+    et al. 2011), shipped as `bit_pattern_31_` data in OpenCV and the
+    reference (`/root/reference/src/ORBextractor.cc:142`). It is a DATA
+    constant, not code: using it makes descriptors live in the same bit
+    space as externally trained vocabularies (e.g. the stock ORBvoc.txt),
+    which pure self-consistency (`brief_pattern`) cannot provide.
+    Layout: [pair, (pointA, pointB), (x, y)]; offsets within radius 13,
+    so rotated samples stay inside EDGE_MARGIN=19.
+    """
+    import os
+    path = os.path.join(os.path.dirname(__file__), "orb_pattern_cv.npy")
+    pat = np.load(path)
+    assert pat.shape == (256, 2, 2)
+    return pat.astype(np.int32)
+
+
+def get_pattern(name: str) -> np.ndarray:
+    if name == "fresh":
+        return brief_pattern()
+    if name == "learned":
+        return learned_pattern()
+    raise ValueError(f"unknown BRIEF pattern {name!r} (fresh|learned)")
+
+
+@functools.lru_cache(maxsize=1)
 def circular_patch_masks() -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """(mask, x*mask, y*mask) over the 31x31 patch, circular radius 15 —
     the IC_Angle moment weights (src/ORBextractor.cc:74-101)."""
@@ -161,7 +189,7 @@ def ic_angles(img, ys, xs):
     return jnp.arctan2(m01, m10)
 
 
-def brief_descriptors(blurred, ys, xs, angles):
+def brief_descriptors(blurred, ys, xs, angles, pattern: str = "fresh"):
     """Rotated-BRIEF 256-bit descriptors packed into uint32[K,8].
 
     Samples the blurred level image at the rotated pattern offsets
@@ -171,7 +199,7 @@ def brief_descriptors(blurred, ys, xs, angles):
     per-row gather on TPU (measured 5.7ms vs 0.75ms for the flat gather at
     K=1000). Bit packing rides an exact f32 byte dot instead of a u32
     multiply-reduce (1.0ms -> ~0.1ms)."""
-    pat = jnp.asarray(brief_pattern(), jnp.float32)  # [256,2,2] (x,y)
+    pat = jnp.asarray(get_pattern(pattern), jnp.float32)  # [256,2,2] (x,y)
     cos_t = jnp.cos(angles)[:, None, None]  # [K,1,1]
     sin_t = jnp.sin(angles)[:, None, None]
     px = pat[None, :, :, 0]  # [1,256,2]
@@ -222,6 +250,7 @@ class OrbExtractor:
         ini_th_fast: float = 20.0,
         min_th_fast: float = 7.0,
         cell: int = 32,
+        pattern: str = "fresh",
     ):
         self.height, self.width = height, width
         self.n_features = n_features
@@ -229,6 +258,7 @@ class OrbExtractor:
         self.n_levels = n_levels
         self.ini_th, self.min_th = float(ini_th_fast), float(min_th_fast)
         self.cell = cell
+        self.pattern = pattern
         self.budgets = features_per_level(n_features, n_levels, scale_factor)
         self.level_scales = [scale_factor ** l for l in range(n_levels)]
         self._extract = jax.jit(self._extract_impl)
@@ -262,7 +292,7 @@ class OrbExtractor:
             xs_c = jnp.clip(xs, EDGE_MARGIN, w - 1 - EDGE_MARGIN)
             ang = ic_angles(lvl, ys_c, xs_c)
             blurred = image_ops.gaussian_blur(lvl, 7, 2.0)
-            desc = brief_descriptors(blurred, ys_c, xs_c, ang)
+            desc = brief_descriptors(blurred, ys_c, xs_c, ang, self.pattern)
             s = self.level_scales[l]
             xy0 = jnp.stack([xs_c.astype(jnp.float32), ys_c.astype(jnp.float32)], -1) * s
             outs.append(

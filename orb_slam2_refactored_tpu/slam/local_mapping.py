@@ -486,6 +486,17 @@ class LocalMapper:
             srcs[i], dsts[i] = a, b
         packed_dev = self._fuse_batch(m, jnp.asarray(srcs), jnp.asarray(dsts))
         packed_dev.copy_to_host_async()
+        # decisions + application drain at the next keyframe (see
+        # triangulate_new_points for the latency rationale)
+        self._pending_fuse = (new_kf, pairs[:B], packed_dev)
+        return m, {"merged": -1, "added": -1}
+
+    def _drain_fuse(self, m: MapArrays, graph: MapGraph):
+        pend = getattr(self, "_pending_fuse", None)
+        if pend is None:
+            return m
+        self._pending_fuse = None
+        new_kf, pairs, packed_dev = pend
         packed = np.asarray(packed_dev)
         idx_all = packed[..., 0]
         dst_pt_all = packed[..., 1]
@@ -496,7 +507,7 @@ class LocalMapper:
         # one program (per-pair dispatches cost a tunnel round trip each)
         add_kf, add_feat, add_pt = [], [], []
         merge_src, merge_dst = [], []
-        for bi, (a, b) in enumerate(pairs[:B]):
+        for bi, (a, b) in enumerate(pairs):
             if a == b:
                 continue  # padding self-pair
             idx = idx_all[bi]
@@ -539,7 +550,6 @@ class LocalMapper:
                     d = remap[d]
                 return d
             merge_dst = [_resolve(d) for d in merge_dst]
-
             nmax = max(len(add_kf), len(merge_src))
             m = self._fuse_apply(
                 m,
@@ -550,7 +560,7 @@ class LocalMapper:
                 jnp.asarray(_pad_bucket(merge_dst, m.point_capacity, 512 if nmax <= 512 else 2048)),
             )
             graph.update_connections(new_kf, graph.kf_row[new_kf])
-        return m, {"merged": n_merged, "added": n_added}
+        return m
 
     def cull_keyframes(self, m: MapArrays, graph: MapGraph, new_kf: int):
         """KeyFrameCulling analog (`src/LocalMapping.cc:641-701`): a covisible
@@ -662,6 +672,56 @@ class LocalMapper:
         self._pending_ba_erase = (old_rows, outlier_dev)
         return m, {"cost0_dev": c0, "cost1_dev": c1, "free": n_f}
 
+    def drain_pending(self, m: MapArrays, graph: MapGraph):
+        """Drain every one-keyframe-deferred mapping product, in the
+        original stage order: triangulation insert+bookkeeping, fusion
+        decisions+apply, BA outlier erasure, found/visible-ratio culling.
+        Called at the top of each keyframe stage, at flush, and before map
+        serialization."""
+        m = self._drain_tri(m, graph)
+        m = self._drain_fuse(m, graph)
+        m = self.drain_ba_erase(m, graph)
+        m = self._drain_ratio_cull(m, graph)
+        return m
+
+    def _drain_ratio_cull(self, m: MapArrays, graph: MapGraph):
+        pend = getattr(self, "_pending_ratio", None)
+        if pend is None:
+            return m
+        self._pending_ratio = None
+        ref_kf, vis_dev, found_dev = pend
+        vis = np.asarray(vis_dev)
+        found = np.asarray(found_dev)
+        ratio = found / np.maximum(vis, 1)
+        kill = []
+        w_kf = max(ref_kf - 4, 0)
+        lo = int(graph.kf_watermark[w_kf]) if w_kf < len(graph.kf_watermark) else 0
+        for pt in range(lo, graph.next_point):
+            if not graph.pt_alive[pt]:
+                continue
+            first = graph.pt_first_kf[pt]
+            if first < 0 or ref_kf - first > 4:
+                continue
+            if vis[pt] >= 4 and ratio[pt] < 0.25:
+                kill.append(pt)
+        if not kill:
+            return m
+        pairs = []
+        for pt in kill:
+            pairs.extend(graph.kill_point(pt))
+        arr = _pad_bucket(kill, m.point_capacity)
+        pk = _pad_bucket([p[0] for p in pairs], m.kf_capacity)
+        pf = _pad_bucket([p[1] for p in pairs], 0)
+        return self._cull(m, jnp.asarray(arr), jnp.asarray(pk), jnp.asarray(pf))
+
+    def queue_ratio_cull(self, ref_kf: int, vis_dev, found_dev):
+        """Stash the found/visible counters (device, functional snapshot)
+        for ratio culling at the next drain. The async copies land during
+        the frames in between — zero blocking reads."""
+        vis_dev.copy_to_host_async()
+        found_dev.copy_to_host_async()
+        self._pending_ratio = (ref_kf, vis_dev, found_dev)
+
     def drain_ba_erase(self, m: MapArrays, graph: MapGraph):
         """Apply the PREVIOUS keyframe's BA outlier erasure to the host
         graph (+ orphan cascade). Called at the start of the next keyframe
@@ -709,11 +769,12 @@ class LocalMapper:
         return m, len(kill)
 
     def triangulate_new_points(self, m: MapArrays, graph: MapGraph, new_kf: int):
-        """Create landmarks by triangulating the new KF against its best
-        covisible neighbors. ALL neighbor pairs evaluate in ONE vmapped
-        device program (the reference's per-neighbor loop,
-        src/LocalMapping.cc:392, costs nothing to batch here); the host
-        resolves cross-neighbor duplicates and allocates slots once."""
+        """Dispatch triangulation for `new_kf`; the candidate readback, slot
+        allocation, insert and graph bookkeeping happen at the NEXT keyframe
+        (`drain_pending`) — by then the async copy has crossed the tunnel, so
+        the stage never blocks. The one-keyframe lag matches the reference's
+        mapping-thread asynchrony (its CreateNewMapPoints also runs behind
+        tracking, src/LocalMapping.cc:133-170)."""
         neighbors = graph.covis_neighbors(new_kf, top_k=self.tri_neighbors)
         if not neighbors:
             return m, 0
@@ -723,14 +784,23 @@ class LocalMapper:
         nbs_j = jnp.asarray(nbs)
         small, idx_dev, xw_dev = self._tri_batch(m, jnp.int32(new_kf), nbs_j)
         small.copy_to_host_async()
-        packed = np.asarray(small)  # [B,N,2]: (idx_b, good)
+        self._pending_tri = (new_kf, nbs, nbs_j, small, idx_dev, xw_dev)
+        return m, -1  # created count known at drain time
+
+    def _drain_tri(self, m: MapArrays, graph: MapGraph):
+        pend = getattr(self, "_pending_tri", None)
+        if pend is None:
+            return m
+        self._pending_tri = None
+        new_kf, nbs, nbs_j, small, idx_dev, xw_dev = pend
+        packed = np.asarray(small)  # [B,N,2]: (idx_b, good) — copy landed
         idx_b_b = packed[..., 0]
         good_b = packed[..., 1] > 0
         n_created = 0
         N = good_b.shape[1]
-        slots_all = np.full((B, N), -1, np.int32)
+        slots_all = np.full((self.tri_neighbors, N), -1, np.int32)
         taken = np.zeros(N, bool)  # feature of new_kf already used
-        for bi in range(min(len(neighbors), B)):
+        for bi in range(self.tri_neighbors):
             nb = int(nbs[bi])
             if nb == new_kf:
                 continue  # padding self-pair
@@ -743,22 +813,22 @@ class LocalMapper:
             feats = feats[: len(new_slots)]
             taken[feats] = True
             slots_all[bi, feats] = new_slots
-            for f, s in zip(feats, new_slots):
-                s = int(s)
-                graph.pt_alive[s] = True
-                graph.pt_first_kf[s] = new_kf
-                graph.add_observation(s, new_kf, int(f), False)
-                graph.add_observation(s, int(nb), int(idx_b_b[bi][f]), False)
+            for f, ss in zip(feats, new_slots):
+                ss = int(ss)
+                graph.pt_alive[ss] = True
+                graph.pt_first_kf[ss] = new_kf
+                graph.add_observation(ss, new_kf, int(f), False)
+                graph.add_observation(ss, int(nb), int(idx_b_b[bi][f]), False)
             n_created += len(feats)
         if n_created:
             # ONE scatter program inserts every neighbor's new points; the
-            # triangulated positions never leave the device
+            # triangulated positions never left the device
             m = self._tri_insert_all(
                 m, jnp.int32(new_kf), nbs_j, jnp.asarray(slots_all),
                 idx_dev, xw_dev,
             )
             graph.update_connections(new_kf, graph.kf_row[new_kf])
-        return m, n_created
+        return m
 
     def cull_points(self, m: MapArrays, graph: MapGraph, new_kf: int,
                     min_obs: int = 3, age: int = 2, vis_found=None):

@@ -21,12 +21,9 @@ from .tracking import Tracker, TrackState
 
 
 def save_map(tracker: Tracker, path: str):
-    # flush the one-keyframe-deferred BA erasure so the saved graph matches
-    # the saved device arrays
-    if tracker.local_mapper is not None:
-        tracker.map = tracker.local_mapper.drain_ba_erase(
-            tracker.map, tracker.graph
-        )
+    # complete the in-flight mapping job + deferred erasures so the saved
+    # graph matches the saved device arrays
+    tracker._finalize_map()
     m = tracker.map
     g = tracker.graph
     arrays = {f"map_{k}": np.asarray(v) for k, v in m._asdict().items()}

@@ -136,6 +136,11 @@ class SlamSystem:
             kf_ref_ratio=0.9 if sensor == MONOCULAR else 0.75,
             enable_loop_closing=enable_loop_closing,
             map_capacity=map_capacity,
+            # extension key (not in the reference schema): selects the BRIEF
+            # test-pair table; "learned" matches externally trained vocabs
+            descriptor_pattern=str(
+                st.raw.get("ORBextractor.pattern", "fresh")
+            ),
         )
         tracker = Tracker(cfg)
         if vocabulary is not None:

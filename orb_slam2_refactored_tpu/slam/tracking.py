@@ -85,6 +85,10 @@ class TrackerConfig:
     pipelined: bool = False           # overlap host readback with next dispatch
     pipeline_depth: int = 2           # in-flight frames; 2 fully hides the
                                       # ~30ms tunnel RT of the scalar readback
+    # BRIEF test-pair table: "fresh" (self-consistent, default) or "learned"
+    # (the published ORB table — bit-compatible with externally trained
+    # vocabularies such as the stock ORBvoc.txt)
+    descriptor_pattern: str = "fresh"
 
     def __post_init__(self):
         if self.map_capacity is None:
@@ -138,6 +142,7 @@ class Tracker:
         self.extractor = OrbExtractor(
             cfg.height, cfg.width, cfg.n_features, cfg.scale_factor,
             cfg.n_levels, cfg.ini_th_fast, cfg.min_th_fast,
+            pattern=cfg.descriptor_pattern,
         )
         self.sf, self.sigma2, self.inv_sigma2 = scale_factors(
             cfg.n_levels, cfg.scale_factor
@@ -170,6 +175,7 @@ class Tracker:
         self.vocabulary = None
         self.last_loop_info = None
         self._gba_pending = None
+        self._map_job = None  # in-flight local-mapping job: (kf_slot, stage)
 
         self.pose = np.asarray(se3.identity())
         self.velocity = np.asarray(se3.identity())
@@ -816,16 +822,22 @@ class Tracker:
                 self._finalize_pending(q.pop(0))
             if self.state != TrackState.OK:
                 break  # loss drained the queue inside finalize
+        # advance the local-mapping job one stage per frame (the mapping
+        # "thread" runs between tracked frames; every readback it performs
+        # was requested >= 1 frame ago and has crossed the tunnel)
+        self._pump_mapping()
         self.frame_id += 1
         return self.pose
 
     def flush(self):
-        """Drain the pipeline (call before reading the trajectory)."""
+        """Drain the pipeline AND deferred mapping products (call before
+        reading the trajectory or the map)."""
         q = getattr(self, "_pending_q", None)
         while q:
             self._finalize_pending(q.pop(0))
             if self.state != TrackState.OK:
                 break
+        self._complete_mapping()
 
     def _finalize_pending(self, pending):
         frame, pose_dev, vel_dev, feat_mp_dev, host_pack, ts, disp_ref = pending
@@ -987,9 +999,17 @@ class Tracker:
             self._reloc_solve = jax.jit(self._reloc_solve_impl)
 
         v, _ = self.loop_closer.db.compute_bow(frame.desc, frame.valid)
-        cands = self.loop_closer.db.detect_candidates(
-            v, exclude=set(), min_score=0.015, max_candidates=3
+        # covisibility-group accumulated scoring, shared-word 0.8 gate —
+        # DetectRelocalizationCandidates (src/KeyFrameDatabase.cc:173-265)
+        # uses no absolute score floor (there is no pose prior when lost)
+        cands = self.loop_closer.db.detect_candidates_grouped(
+            v, exclude=set(), min_score=0.0, graph=self.graph,
+            max_candidates=5,
         )
+        if not cands:  # degenerate BoW overlap: fall back to plain scoring
+            cands = self.loop_closer.db.detect_candidates(
+                v, exclude=set(), min_score=0.015, max_candidates=3
+            )
         for kf in cands:
             pts3d, feat_pt, valid = self._reloc_match(frame, self.map, jnp.int32(kf))
             if int(np.asarray(valid).sum()) < 15:
@@ -1031,8 +1051,12 @@ class Tracker:
             self.loop_closer.db.clear()
             self.loop_closer.consistent_groups = []
         self._gba_pending = None
+        self._map_job = None
         if self.local_mapper is not None:
             self.local_mapper._pending_ba_erase = None
+            self.local_mapper._pending_tri = None
+            self.local_mapper._pending_fuse = None
+            self.local_mapper._pending_ratio = None
         self.pose = np.asarray(se3.identity())
         self.velocity = np.asarray(se3.identity())
         self.pose_dev = jnp.asarray(self.pose)
@@ -1181,6 +1205,13 @@ class Tracker:
         create_mask: Optional[np.ndarray] = None,
     ):
         cfg = self.cfg
+        # complete the previous keyframe's mapping job FIRST: triangulation
+        # allocates point slots at drain time, so it must precede this
+        # keyframe's own allocations (the reference's mapping thread likewise
+        # finishes one KF before accepting the next, src/LocalMapping.cc:79)
+        if self.local_mapper is not None:
+            with self.timer.time("kf.drain"):
+                self._finalize_map()
         if self.graph.num_kfs >= cfg.map_capacity.max_keyframes:
             # keyframe capacity exhausted: keep tracking against the frozen
             # map instead of crashing mid-run (graceful degradation; culling
@@ -1295,47 +1326,97 @@ class Tracker:
             self._loop_closing_stage(frame, slot)
 
         # local mapping stage (reference Update order, src/LocalMapping.cc:93-130:
-        # triangulate -> fuse neighbors -> cull points -> local BA -> cull KFs)
+        # triangulate -> fuse neighbors -> cull points -> local BA -> cull KFs).
+        # The stage runs as a 3-step state machine — the analog of the
+        # reference's mapping THREAD working one keyframe behind tracking
+        # (src/LocalMapping.cc:57-91). Pipelined mode pumps ONE step per
+        # tracked frame, so every device->host readback has had a frame
+        # (~1 tunnel RT) to land asynchronously and the frame loop never
+        # blocks on the mapping stage; synchronous mode completes the job
+        # inline (deterministic per-frame semantics for tests/drivers).
         if self.local_mapper is not None and len(self.graph.alive_kfs()) >= 2:
-            with self.timer.time("kf.drain_ba"):
-                self.map = self.local_mapper.drain_ba_erase(self.map, self.graph)
             with self.timer.time("kf.triangulate"):
-                self.map, n_tri = self.local_mapper.triangulate_new_points(
+                self.map, _ = self.local_mapper.triangulate_new_points(
                     self.map, self.graph, slot
                 )
+            if slot % 2 == 0:
+                # snapshot the found/visible counters now; the ratio-cull
+                # rule drains them right before local BA (stage 1)
+                self.local_mapper.queue_ratio_cull(
+                    slot, self.mp_vis_dev, self.mp_found_dev
+                )
+            self._map_job = (slot, 0)
+            if not self.cfg.pipelined:
+                self._complete_mapping()
+        return slot
+
+    def _pump_mapping(self):
+        """Advance the in-flight local-mapping job by one stage."""
+        lm = self.local_mapper
+        job = getattr(self, "_map_job", None)
+        if lm is None or job is None:
+            return
+        slot, stage = job
+        if stage == 0:
+            # triangulation readback landed: insert points, then dispatch
+            # neighbor fusion over the refreshed covisibility ring
+            with self.timer.time("kf.tri_drain"):
+                self.map = lm._drain_tri(self.map, self.graph)
             with self.timer.time("kf.fuse"):
-                self.map, _ = self.local_mapper.fuse_neighbors(self.map, self.graph, slot)
+                self.map, _ = lm.fuse_neighbors(self.map, self.graph, slot)
+            self._map_job = (slot, 1)
+        elif stage == 1:
+            # fusion decisions landed: apply merges, refresh point stats,
+            # run the host culling rule, then dispatch window BA
+            with self.timer.time("kf.fuse_drain"):
+                self.map = lm._drain_fuse(self.map, self.graph)
             with self.timer.time("kf.refresh_points"):
-                self.map = self.local_mapper.refresh_points(
-                    self.map, self.graph, slot
-                )
+                self.map = lm.refresh_points(self.map, self.graph, slot)
             with self.timer.time("kf.cull_points"):
-                # the found/visible-ratio check needs a counter download
-                # (~1 tunnel RT): run it every other keyframe — the trial
-                # window spans ~4 keyframes, so every point still gets
-                # ratio-checked at least once
-                vf = ((self.mp_vis_dev, self.mp_found_dev)
-                      if slot % 2 == 0 else None)
-                self.map, _ = self.local_mapper.cull_points(
-                    self.map, self.graph, slot, vis_found=vf,
+                self.map, _ = lm.cull_points(
+                    self.map, self.graph, slot, vis_found=None,
                 )
+                # found/visible-ratio rule: counters were snapshotted at KF
+                # creation (async copy has had the tri+fuse stages to land);
+                # cull BEFORE BA so doomed points don't pollute the solve
+                self.map = lm._drain_ratio_cull(self.map, self.graph)
             with self.timer.time("kf.local_ba"):
-                self.map, info = self.local_mapper.local_ba(self.map, self.graph, slot)
+                self.map, info = lm.local_ba(self.map, self.graph, slot)
+            self.last_ba_info = info
+            self._map_job = (slot, 2)
+        else:
+            # cull redundant keyframes. The BA outlier erasure stays pending
+            # until the NEXT keyframe's drain (matching the reference's
+            # mapping-thread lag): erasing observations + orphan-killing
+            # marginal points immediately would thin the live tracking map
+            # mid-interval.
             with self.timer.time("kf.cull_kfs"):
-                self.map, killed = self.local_mapper.cull_keyframes(
-                    self.map, self.graph, slot
-                )
+                self.map, killed = lm.cull_keyframes(self.map, self.graph, slot)
             if killed and self.loop_closer is not None:
                 for k in killed:
                     self.loop_closer.db.erase(k)
-            self.last_ba_info = info
-            if info is not None and not self.cfg.pipelined:
+            self._map_job = None
+            if self.last_ba_info is not None and not self.cfg.pipelined:
                 # adopt the BA-refined pose of the new keyframe as the
                 # tracker's current pose (the reference's map-update mutex
                 # hand-off, src/Tracking.cc:1196, becomes this re-read).
-                # Pipelined mode skips it: the caller restores the in-flight
-                # frame's device state right after this returns, so the
-                # read would be paid (~30ms) and then discarded.
+                # Synchronous mode completes the job in the same frame the
+                # KF was created, so the adoption is exact; pipelined mode
+                # skips it (the in-flight frames' device state would be
+                # rewound and the ~30ms read discarded).
                 self.pose = np.asarray(self.map.kf_pose[slot])
                 self.pose_dev = jnp.asarray(self.pose)
-        return slot
+
+    def _complete_mapping(self):
+        """Run the in-flight mapping job to completion. The BA outlier
+        erasure may stay pending (it drains at the next keyframe);
+        `_finalize_map` flushes that too."""
+        while getattr(self, "_map_job", None) is not None:
+            self._pump_mapping()
+
+    def _finalize_map(self):
+        """Complete the mapping job AND drain every deferred product —
+        required before serialization or whole-map reads."""
+        self._complete_mapping()
+        if self.local_mapper is not None:
+            self.map = self.local_mapper.drain_pending(self.map, self.graph)

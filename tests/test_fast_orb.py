@@ -2,6 +2,7 @@
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from orb_slam2_refactored_tpu.ops import fast as fast_ops
 from orb_slam2_refactored_tpu.ops import image as image_ops
@@ -137,3 +138,36 @@ class TestOrb:
         d = d[v1][:, v2]
         # for each f1 descriptor the best f2 distance should be small
         assert np.median(d.min(axis=1)) <= 40
+
+    def test_learned_pattern_table(self):
+        from orb_slam2_refactored_tpu.ops.orb import get_pattern, learned_pattern
+
+        p = learned_pattern()
+        assert p.shape == (256, 2, 2)
+        # published table's first pair: (8,-3) -> (9,5)
+        assert p[0].tolist() == [[8, -3], [9, 5]]
+        assert np.abs(p).max() <= 13
+        assert get_pattern("learned") is p
+        with pytest.raises(ValueError):
+            get_pattern("nope")
+
+    def test_learned_pattern_repeatability(self):
+        """The learned table must match as well as the fresh one under
+        shift, and produce a different bit space."""
+        img1, _ = squares_texture(240, 320, n=80, seed=4)
+        img2 = np.roll(img1, (0, 20), (0, 1))
+        medians = {}
+        descs = {}
+        from orb_slam2_refactored_tpu.ops import hamming
+
+        for pat in ("fresh", "learned"):
+            ex = OrbExtractor(240, 320, n_features=300, n_levels=1, pattern=pat)
+            f1, f2 = ex(jnp.asarray(img1)), ex(jnp.asarray(img2 + 0.0))
+            d = np.asarray(hamming.hamming_matrix(f1.desc, f2.desc))
+            v1, v2 = np.asarray(f1.valid), np.asarray(f2.valid)
+            medians[pat] = np.median(d[v1][:, v2].min(axis=1))
+            descs[pat] = np.asarray(f1.desc)[v1]
+        assert medians["learned"] <= 40
+        # same keypoints, different test pairs -> different bits
+        n = min(len(descs["fresh"]), len(descs["learned"]))
+        assert not np.array_equal(descs["fresh"][:n], descs["learned"][:n])
