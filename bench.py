@@ -79,6 +79,10 @@ def main():
                            # keep the scalar readback off the critical path
         map_capacity=MapCapacity(max_keyframes=128, max_points=32768,
                                  max_features=1000),
+        depth_subsample=2,  # tunnel upload bandwidth ~25MB/s is the frame
+                            # ceiling; half-res depth (sampled at keypoints,
+                            # outliers chi2-gated) halves the dominant payload.
+                            # The ATE gate below keeps this honest.
     )
     tracker = Tracker(cfg)
 
@@ -134,7 +138,9 @@ def main():
 
     try:
         rt = _rt()
-        img_j, dep_j = jnp.asarray(imgs[-1]), jnp.asarray(depths[-1])
+        s = cfg.depth_subsample
+        img_j = jnp.asarray(imgs[-1])
+        dep_j = jnp.asarray(np.ascontiguousarray(depths[-1][::s, ::s]))
         args = (img_j, dep_j, tracker.last_frame, tracker.last_mp_dev,
                 tracker.map, tracker.pose_dev, tracker.velocity_dev,
                 jnp.int32(max(tracker.ref_kf, 0)),

@@ -89,6 +89,12 @@ class TrackerConfig:
     # (the published ORB table — bit-compatible with externally trained
     # vocabularies such as the stock ORBvoc.txt)
     descriptor_pattern: str = "fresh"
+    # >1: upload the depth map subsampled s x s (nearest) and sample it at
+    # keypoints on device. Depth is smooth away from object boundaries, and
+    # boundary outliers are culled by the chi2 gates; s=2 cuts the RGB-D
+    # host->device payload from 900KB to 450KB per VGA frame — decisive when
+    # the link is the bottleneck (it is under the tunnel: ~25MB/s).
+    depth_subsample: int = 1
 
     def __post_init__(self):
         if self.map_capacity is None:
@@ -225,7 +231,14 @@ class Tracker:
         # reference's ComputeStereoFromRGBD (src/System.cc:197-219)
         xi = jnp.clip(jnp.round(feats.xy[:, 0]).astype(jnp.int32), 0, self.cfg.width - 1)
         yi = jnp.clip(jnp.round(feats.xy[:, 1]).astype(jnp.int32), 0, self.cfg.height - 1)
-        d = depth_img[yi, xi]
+        s = self.cfg.depth_subsample
+        if s > 1:  # depth arrives subsampled s x s (see TrackerConfig)
+            d = depth_img[
+                jnp.minimum(yi // s, depth_img.shape[0] - 1),
+                jnp.minimum(xi // s, depth_img.shape[1] - 1),
+            ]
+        else:
+            d = depth_img[yi, xi]
         has_d = d > 1e-3
         xy_und = (proj.undistort_points(self.cam, self.dist, feats.xy)
                   if self._has_dist else feats.xy)
@@ -589,10 +602,15 @@ class Tracker:
         host transfer (pose/velocity/stats pack). `feat_mp` and the frame
         arrays stay device-resident unless a keyframe is created.
         """
+        s = self.cfg.depth_subsample
+        if s > 1:
+            depth = np.ascontiguousarray(np.asarray(depth)[::s, ::s])
+        img_j = jnp.asarray(img)
+        dep_j = jnp.asarray(depth)
         return self._run_frame(
-            lambda: self._prepare(jnp.asarray(img), jnp.asarray(depth)),
+            lambda: self._prepare(img_j, dep_j),
             lambda: self._step(
-                jnp.asarray(img), jnp.asarray(depth),
+                img_j, dep_j,
                 self.last_frame, self.last_mp_dev, self.map,
                 self.pose_dev, self.velocity_dev, jnp.int32(max(self.ref_kf, 0)),
                 self.mp_vis_dev, self.mp_found_dev, self.local_mask_dev,

@@ -1,4 +1,8 @@
-"""Profile the keyframe-stage device programs in steady state (real TPU)."""
+"""Profile the keyframe-stage device programs in steady state (real TPU).
+
+Each program is timed over REPS back-to-back dispatches with one tiny forced
+fetch at the end; the tunnel RT is subtracted, so numbers ~= device compute.
+"""
 import os
 import sys
 import time
@@ -20,7 +24,18 @@ def fetch(x):
     return np.asarray(jnp.sum(leaf.astype(jnp.float32).ravel()[:1]))
 
 
-def bench_stage(name, fn, *args, reps=REPS, rt=0.027):
+def measure_rt():
+    x = jnp.zeros((1,), jnp.float32)
+    f = jax.jit(lambda a: a + 1)
+    for _ in range(3):
+        np.asarray(f(x))
+    t0 = time.perf_counter()
+    for _ in range(20):
+        np.asarray(f(x))
+    return (time.perf_counter() - t0) / 20
+
+
+def bench_stage(name, fn, *args, reps=REPS, rt=0.03):
     out = fn(*args)
     fetch(out)
     t0 = time.perf_counter()
@@ -28,7 +43,7 @@ def bench_stage(name, fn, *args, reps=REPS, rt=0.027):
         out = fn(*args)
     fetch(out)
     dt = (time.perf_counter() - t0 - rt) / reps
-    print(f"{name:32s} {dt*1e3:8.2f} ms")
+    print(f"{name:32s} {dt*1e3:8.2f} ms", flush=True)
     return dt
 
 
@@ -51,6 +66,9 @@ def main():
     print(f"state={tracker.state} kfs={len(tracker.graph.alive_kfs())} "
           f"pts={tracker.graph.pt_alive.sum()}", file=sys.stderr)
 
+    rt = measure_rt()
+    print(f"tunnel RT {rt*1e3:.1f} ms")
+
     m = tracker.map
     lm = tracker.local_mapper
     graph = tracker.graph
@@ -61,9 +79,25 @@ def main():
     nbs[: len(nbs_l)] = nbs_l[:B]
     nbs_j = jnp.asarray(nbs)
 
-    bench_stage("tri_batch (6 nbrs)", lm._tri_batch, m, jnp.int32(new_kf), nbs_j)
-    bench_stage("tri single pair", lm._tri, m, jnp.int32(new_kf),
-                jnp.int32(nbs[0]))
+    # per-frame step for context
+    img_j, dep_j = jnp.asarray(imgs[40]), jnp.asarray(depths[40])
+    bench_stage("frame step (fused)", tracker._step, img_j, dep_j,
+                tracker.last_frame, tracker.last_mp_dev, m,
+                tracker.pose_dev, tracker.velocity_dev,
+                jnp.int32(max(tracker.ref_kf, 0)),
+                tracker.mp_vis_dev, tracker.mp_found_dev,
+                tracker.local_mask_dev, rt=rt)
+
+    bench_stage("tri_batch (6 nbrs)", lm._tri_batch, m, jnp.int32(new_kf),
+                nbs_j, rt=rt)
+    slots_all = jnp.full((B, 1000), -1, jnp.int32)
+    small, idx_dev, xw_dev = lm._tri_batch(m, jnp.int32(new_kf), nbs_j)
+    def tia(mm, kf, nbs, sl, ib, xw):
+        for b in range(B):
+            mm = lm._tri_insert_impl(mm, kf, nbs[b], sl[b], ib[b], xw[b])
+        return mm
+    bench_stage("tri_insert_all", jax.jit(tia), m, jnp.int32(new_kf),
+                nbs_j, slots_all, idx_dev, xw_dev, rt=rt)
 
     srcs = np.full(10, new_kf, np.int32)
     dsts = np.full(10, new_kf, np.int32)
@@ -71,72 +105,59 @@ def main():
         srcs[i], dsts[i] = new_kf, nb
         srcs[5 + i], dsts[5 + i] = nb, new_kf
     bench_stage("fuse_batch (10 pairs)", lm._fuse_batch, m,
-                jnp.asarray(srcs), jnp.asarray(dsts))
+                jnp.asarray(srcs), jnp.asarray(dsts), rt=rt)
 
-    free = np.zeros(cfg.map_capacity.max_keyframes, bool)
-    free[new_kf] = True
-    for j in graph.covis_neighbors(new_kf, top_k=lm.window):
-        free[j] = True
-    free_j = jnp.asarray(free)
-    bench_stage("local_ba program", lm._ba, m, free_j)
+    pad = jnp.full(512, m.kf_capacity, jnp.int32)
+    padp = jnp.full(512, m.point_capacity, jnp.int32)
+    bench_stage("fuse_apply (512 pad)", jax.jit(lm._fuse_apply_impl), m, pad,
+                pad, padp, padp, padp, rt=rt)
 
-    # BA at different CG budgets to see scaling
-    from orb_slam2_refactored_tpu.optim.ba import BAProblem, ba_solve
-    def mk_ba(iters, cg):
-        def f(m, fr):
-            prob = BAProblem(
-                kf_pose=m.kf_pose, kf_fixed=~fr, obs_uv=m.kf_xy,
-                obs_ur=m.kf_uright, obs_pt=m.kf_mp,
-                obs_inv_s2=lm.inv_sigma2[m.kf_level],
-                pt_pos=m.mp_pos, pt_valid=m.mp_valid,
-            )
-            r = ba_solve(prob, lm.cam, iters=iters, cg_iters=cg, lambda0=1e-4)
-            return r.kf_pose, r.pt_pos
-        return jax.jit(f)
-    bench_stage("ba iters=1 cg=1", mk_ba(1, 1), m, free_j)
-    bench_stage("ba iters=4 cg=4", mk_ba(4, 4), m, free_j)
+    # window BA exactly as local_ba builds it
+    W = lm.BA_WINDOW
+    K = graph.cap.max_keyframes
+    free_list = [new_kf] + graph.covis_neighbors(new_kf, top_k=lm.window)
+    free_list = free_list[:W - 1]
+    seen = set(free_list)
+    frontier = []
+    for k in free_list:
+        for nb in graph.covis_neighbors(int(k)):
+            if nb not in seen:
+                seen.add(nb)
+                frontier.append(nb)
+                if len(free_list) + len(frontier) >= W:
+                    break
+        if len(free_list) + len(frontier) >= W:
+            break
+    win_idx = np.full(W, K, np.int32)
+    win_free = np.zeros(W, bool)
+    win_valid = np.zeros(W, bool)
+    n_f = len(free_list)
+    win_idx[:n_f] = free_list
+    win_free[:n_f] = True
+    win_valid[:n_f] = True
+    win_idx[n_f:n_f + len(frontier)] = frontier
+    win_valid[n_f:n_f + len(frontier)] = True
+    bench_stage(f"local_ba W={W} (free={n_f})", lm._ba, m,
+                jnp.asarray(win_idx), jnp.asarray(win_free),
+                jnp.asarray(win_valid), rt=rt)
 
-    # hamming matrix at tri scale
-    from orb_slam2_refactored_tpu.ops import hamming
-    d0 = m.kf_desc[new_kf]
-    hm = jax.jit(lambda a, b: hamming.hamming_matrix(a, b))
-    bench_stage("hamming 1000x1000", hm, d0, d0)
-    hmv = jax.jit(lambda a, b: jax.vmap(hamming.hamming_matrix, (None, 0))(a, b))
-    bench_stage("hamming vmapped x6", hmv, d0, m.kf_desc[nbs_j])
+    bench_stage("cull program (512 pad)", jax.jit(lm._cull_impl), m,
+                padp, pad, jnp.zeros(512, jnp.int32), rt=rt)
 
-    # xla-only hamming
-    os.environ["TPU_SLAM_PALLAS"] = "0"
-    hamming._PALLAS_OK = None
-    hm2 = jax.jit(lambda a, b: jnp.sum(jnp.bitwise_count(
-        jnp.bitwise_xor(a[:, None, :], b[None, :, :])).astype(jnp.int32), -1))
-    bench_stage("hamming 1000x1000 XLA", hm2, d0, d0)
-
-    # refresh program
     Bq, M = 1024, lm.MAXOBS
-    pts = np.full(Bq, m.point_capacity, np.int32)
-    okf = np.zeros((Bq, M), np.int32)
-    oft = np.zeros((Bq, M), np.int32)
-    nob = np.zeros(Bq, np.int32)
-    cand = [int(p) for p in np.asarray(m.kf_mp[new_kf]) if p >= 0][:Bq]
-    for i, p in enumerate(cand):
-        pairs = graph.obs_pairs(p)[:M]
-        pts[i] = p
-        nob[i] = len(pairs)
-        for j, (kf, ft) in enumerate(pairs):
-            okf[i, j] = kf
-            oft[i, j] = ft
-    if not hasattr(lm, "_refresh"):
-        lm._refresh = jax.jit(lm._refresh_points_impl)
-    bench_stage("refresh_points program", lm._refresh, m, jnp.asarray(pts),
-                jnp.asarray(okf), jnp.asarray(oft), jnp.asarray(nob))
+    pts = jnp.full(Bq, m.point_capacity, jnp.int32)
+    okf = jnp.zeros((Bq, M), jnp.int32)
+    oft = jnp.zeros((Bq, M), jnp.int32)
+    nob = jnp.zeros(Bq, jnp.int32)
+    bench_stage("refresh_points (1024)", jax.jit(lm._refresh_points_impl),
+                m, pts, okf, oft, nob, rt=rt)
 
-    # insert_kf program
-    frame = tracker.last_kf_frame
-    bench_stage("insert_kf program",
-                jax.jit(tracker._insert_kf_impl), m, jnp.int32(new_kf), frame,
-                jnp.asarray(tracker.pose), jnp.asarray(
-                    np.asarray(tracker.last_mp_dev)),
-                jnp.full((frame.capacity,), -1, jnp.int32))
+    # insert_kf program (non-donating copy for repeat timing)
+    frame = tracker._prepare(img_j, dep_j)
+    bench_stage("insert_kf", jax.jit(tracker._insert_kf_impl), m, 64, frame,
+                tracker.pose_dev,
+                jnp.full(1000, -1, jnp.int32), jnp.full(1000, -1, jnp.int32),
+                rt=rt)
 
 
 if __name__ == "__main__":

@@ -106,3 +106,34 @@ class TestRgbdOdometry:
         # catastrophic slot-aliasing failure mode (ATE blows up >2x / >4cm),
         # not millimeter-level estimator bias.
         assert results[True] < max(2.0 * results[False], 0.04)
+
+    def test_depth_subsample_matches_full_res(self, close_scene):
+        """depth_subsample=2 (half-res depth upload, nearest sampling on
+        device) must track with ATE in the same band as full-res depth —
+        the guard for the bandwidth-saving upload mode used by bench.py."""
+        n = 40
+        gt = orbit_trajectory(n, radius=0.35, yaw_amp=0.25)
+        rng = np.random.default_rng(11)
+        frames = []
+        for i in range(n):
+            img, depth = close_scene.render(gt[i])
+            frames.append(
+                (img, depth * (1 + rng.normal(0, 0.01, depth.shape).astype(np.float32)))
+            )
+        results = {}
+        for sub in (1, 2):
+            cfg = TrackerConfig(
+                width=320, height=240, fx=260.0, fy=260.0, cx=160.0, cy=120.0,
+                bf=0.08 * 260.0, n_features=600, n_levels=4,
+                depth_subsample=sub,
+                map_capacity=MapCapacity(max_keyframes=64, max_points=8192,
+                                         max_features=600),
+            )
+            tracker = Tracker(cfg)
+            for img, depth in frames:
+                tracker.track_rgbd(img, depth)
+            assert tracker.state != 2
+            est = np.stack(tracker.trajectory)
+            results[sub], _ = ate_rmse(est, gt, align="se3")
+        print(f"ATE full-res {results[1]:.4f}, half-res depth {results[2]:.4f}")
+        assert results[2] < max(1.5 * results[1], 0.02)
