@@ -22,6 +22,7 @@ TPU-first redesign:
 
 from __future__ import annotations
 
+from concurrent.futures import ThreadPoolExecutor
 from functools import partial
 from typing import List
 
@@ -110,6 +111,28 @@ class LocalMapper:
 
         self._fuse_batch = jax.jit(_fuse_pack)
         self._tri_insert = jax.jit(self._tri_insert_impl, donate_argnums=(0,))
+        # one fetch worker: device->host reads block in this thread (the
+        # transfer releases the GIL), so the frame loop never stalls on a
+        # mapping-stage readback — the thread-shaped part of the reference's
+        # LocalMapping thread (src/LocalMapping.cc:57-91)
+        self._fetch_pool = ThreadPoolExecutor(1, "map-fetch")
+
+    def _fetch(self, dev_arr):
+        """Start an off-thread device->host fetch; returns a Future."""
+        dev_arr.copy_to_host_async()
+        return self._fetch_pool.submit(np.asarray, dev_arr)
+
+    def tri_ready(self) -> bool:
+        p = getattr(self, "_pending_tri", None)
+        return p is None or p[3].done()
+
+    def fuse_ready(self) -> bool:
+        p = getattr(self, "_pending_fuse", None)
+        return p is None or p[2].done()
+
+    def ratio_ready(self) -> bool:
+        p = getattr(self, "_pending_ratio", None)
+        return p is None or (p[1].done() and p[2].done())
 
     # -- jitted programs -------------------------------------------------
 
@@ -485,10 +508,8 @@ class LocalMapper:
         for i, (a, b) in enumerate(pairs[:B]):
             srcs[i], dsts[i] = a, b
         packed_dev = self._fuse_batch(m, jnp.asarray(srcs), jnp.asarray(dsts))
-        packed_dev.copy_to_host_async()
-        # decisions + application drain at the next keyframe (see
-        # triangulate_new_points for the latency rationale)
-        self._pending_fuse = (new_kf, pairs[:B], packed_dev)
+        # decisions fetch off-thread; application drains at the next pump
+        self._pending_fuse = (new_kf, pairs[:B], self._fetch(packed_dev))
         return m, {"merged": -1, "added": -1}
 
     def _drain_fuse(self, m: MapArrays, graph: MapGraph):
@@ -496,8 +517,8 @@ class LocalMapper:
         if pend is None:
             return m
         self._pending_fuse = None
-        new_kf, pairs, packed_dev = pend
-        packed = np.asarray(packed_dev)
+        new_kf, pairs, packed_fut = pend
+        packed = packed_fut.result()
         idx_all = packed[..., 0]
         dst_pt_all = packed[..., 1]
         keep_all = packed[..., 2] > 0
@@ -663,13 +684,14 @@ class LocalMapper:
             m, jnp.asarray(win_idx), jnp.asarray(win_free),
             jnp.asarray(win_valid),
         )
-        for x in (outlier_dev, c0, c1):
+        outlier_fut = self._fetch(outlier_dev)
+        for x in (c0, c1):
             x.copy_to_host_async()
         # host-side outlier erasure defers to the NEXT keyframe: by then the
         # async copy has crossed the tunnel (zero blocking read), and the
         # one-keyframe lag matches the reference's mapping-thread asynchrony.
         # The device kf_mp was already cleaned in-graph by _ba_impl.
-        self._pending_ba_erase = (old_rows, outlier_dev)
+        self._pending_ba_erase = (old_rows, outlier_fut)
         return m, {"cost0_dev": c0, "cost1_dev": c1, "free": n_f}
 
     def drain_pending(self, m: MapArrays, graph: MapGraph):
@@ -689,9 +711,9 @@ class LocalMapper:
         if pend is None:
             return m
         self._pending_ratio = None
-        ref_kf, vis_dev, found_dev = pend
-        vis = np.asarray(vis_dev)
-        found = np.asarray(found_dev)
+        ref_kf, vis_fut, found_fut = pend
+        vis = vis_fut.result()
+        found = found_fut.result()
         ratio = found / np.maximum(vis, 1)
         kill = []
         w_kf = max(ref_kf - 4, 0)
@@ -718,9 +740,8 @@ class LocalMapper:
         """Stash the found/visible counters (device, functional snapshot)
         for ratio culling at the next drain. The async copies land during
         the frames in between — zero blocking reads."""
-        vis_dev.copy_to_host_async()
-        found_dev.copy_to_host_async()
-        self._pending_ratio = (ref_kf, vis_dev, found_dev)
+        self._pending_ratio = (ref_kf, self._fetch(vis_dev),
+                               self._fetch(found_dev))
 
     def drain_ba_erase(self, m: MapArrays, graph: MapGraph):
         """Apply the PREVIOUS keyframe's BA outlier erasure to the host
@@ -730,8 +751,8 @@ class LocalMapper:
         if p is None:
             return m
         self._pending_ba_erase = None
-        old_rows, outlier_dev = p
-        outlier = np.asarray(outlier_dev)
+        old_rows, outlier_fut = p
+        outlier = outlier_fut.result()
         touched = self.erase_outlier_obs(graph, old_rows, outlier)
         m, _ = self.kill_orphan_points(m, graph, touched)
         return m
@@ -783,8 +804,8 @@ class LocalMapper:
         nbs[: len(neighbors)] = neighbors[:B]
         nbs_j = jnp.asarray(nbs)
         small, idx_dev, xw_dev = self._tri_batch(m, jnp.int32(new_kf), nbs_j)
-        small.copy_to_host_async()
-        self._pending_tri = (new_kf, nbs, nbs_j, small, idx_dev, xw_dev)
+        self._pending_tri = (new_kf, nbs, nbs_j, self._fetch(small),
+                             idx_dev, xw_dev)
         return m, -1  # created count known at drain time
 
     def _drain_tri(self, m: MapArrays, graph: MapGraph):
@@ -792,8 +813,8 @@ class LocalMapper:
         if pend is None:
             return m
         self._pending_tri = None
-        new_kf, nbs, nbs_j, small, idx_dev, xw_dev = pend
-        packed = np.asarray(small)  # [B,N,2]: (idx_b, good) — copy landed
+        new_kf, nbs, nbs_j, small_fut, idx_dev, xw_dev = pend
+        packed = small_fut.result()  # [B,N,2]: (idx_b, good)
         idx_b_b = packed[..., 0]
         good_b = packed[..., 1] > 0
         n_created = 0

@@ -20,6 +20,7 @@ trajectory recording. TPU-first redesign:
 from __future__ import annotations
 
 import dataclasses
+from concurrent.futures import ThreadPoolExecutor
 from functools import partial
 from typing import List, Optional, Tuple
 
@@ -182,6 +183,9 @@ class Tracker:
         self.last_loop_info = None
         self._gba_pending = None
         self._map_job = None  # in-flight local-mapping job: (kf_slot, stage)
+        # worker thread for per-frame scalar-pack fetches (device->host
+        # transfers release the GIL; the frame loop keeps dispatching)
+        self._fetch_pool = ThreadPoolExecutor(1, "track-fetch")
 
         self.pose = np.asarray(se3.identity())
         self.velocity = np.asarray(se3.identity())
@@ -824,8 +828,12 @@ class Tracker:
         (frame, pose_dev, vel_dev, feat_mp_dev, host_pack,
          self.mp_vis_dev, self.mp_found_dev) = cur
         # request the scalar pack now: with pipeline_depth in-flight frames
-        # the transfer has crossed the tunnel (~30ms RT) by finalize time
+        # the transfer has crossed the tunnel (~30ms RT) by finalize time.
+        # (A worker-thread fetch here measurably CONTENDS with the dispatch
+        # RPCs on the tunnel connection — per-frame fetches stay on the main
+        # thread; only the chunky keyframe-stage reads go to the worker.)
         host_pack.copy_to_host_async()
+        feat_mp_dev.copy_to_host_async()
         q = getattr(self, "_pending_q", None)
         if q is None:
             q = self._pending_q = []
@@ -859,7 +867,8 @@ class Tracker:
 
     def _finalize_pending(self, pending):
         frame, pose_dev, vel_dev, feat_mp_dev, host_pack, ts, disp_ref = pending
-        pack = np.asarray(host_pack)
+        pack = (host_pack.result() if hasattr(host_pack, "result")
+                else np.asarray(host_pack))
         n_inl = int(pack[14])
         if n_inl < self.cfg.min_inliers_track:
             self.state = TrackState.LOST
@@ -1368,14 +1377,21 @@ class Tracker:
                 self._complete_mapping()
         return slot
 
-    def _pump_mapping(self):
-        """Advance the in-flight local-mapping job by one stage."""
+    def _pump_mapping(self, force: bool = False):
+        """Advance the in-flight local-mapping job by one stage.
+
+        Each stage consumes a readback that a worker thread has been
+        fetching since the previous stage dispatched; the pump only
+        advances when that fetch has completed (`force` waits instead), so
+        the frame loop never blocks on a mapping-stage transfer."""
         lm = self.local_mapper
         job = getattr(self, "_map_job", None)
         if lm is None or job is None:
             return
         slot, stage = job
         if stage == 0:
+            if not force and not lm.tri_ready():
+                return
             # triangulation readback landed: insert points, then dispatch
             # neighbor fusion over the refreshed covisibility ring
             with self.timer.time("kf.tri_drain"):
@@ -1384,6 +1400,8 @@ class Tracker:
                 self.map, _ = lm.fuse_neighbors(self.map, self.graph, slot)
             self._map_job = (slot, 1)
         elif stage == 1:
+            if not force and not (lm.fuse_ready() and lm.ratio_ready()):
+                return
             # fusion decisions landed: apply merges, refresh point stats,
             # run the host culling rule, then dispatch window BA
             with self.timer.time("kf.fuse_drain"):
@@ -1430,7 +1448,7 @@ class Tracker:
         erasure may stay pending (it drains at the next keyframe);
         `_finalize_map` flushes that too."""
         while getattr(self, "_map_job", None) is not None:
-            self._pump_mapping()
+            self._pump_mapping(force=True)
 
     def _finalize_map(self):
         """Complete the mapping job AND drain every deferred product —
