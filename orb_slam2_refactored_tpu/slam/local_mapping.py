@@ -620,7 +620,10 @@ class LocalMapper:
             # record Tcp = Tc_w * Tw_parent at cull time so culled reference
             # KFs stay walkable in trajectory export (KeyFrame::SetBadFlag
             # stores mTcp, src/KeyFrame.cc:464; used src/System.cc:725-734).
-            # ONE batched device eval + ONE small transfer.
+            # ONE batched device eval; the small transfer streams back
+            # off-thread (kf_tcp is consumed only at trajectory save — the
+            # drain resolves it long before then).
+            self._resolve_tcp(graph)
             if not hasattr(self, "_tcp"):
                 self._tcp = jax.jit(lambda mm, a, b: se3.compose(
                     mm.kf_pose[a], se3.inverse(mm.kf_pose[b])))
@@ -630,12 +633,23 @@ class LocalMapper:
             ps_np = np.zeros(PAD, np.int32)
             for i, (k, p) in enumerate(killed[:PAD]):
                 ks_np[i], ps_np[i] = k, max(p, 0)
-            tcp = np.asarray(self._tcp(m, jnp.asarray(ks_np), jnp.asarray(ps_np)))
-            if not hasattr(graph, "kf_tcp"):
-                graph.kf_tcp = {}
-            for i, (k, p) in enumerate(killed[:PAD]):
-                graph.kf_tcp[k] = (p, tcp[i])
+            tcp_fut = self._fetch(
+                self._tcp(m, jnp.asarray(ks_np), jnp.asarray(ps_np))
+            )
+            self._pending_tcp = (list(killed[:PAD]), tcp_fut)
         return m, [k for k, _ in killed]
+
+    def _resolve_tcp(self, graph: MapGraph):
+        pend = getattr(self, "_pending_tcp", None)
+        if pend is None:
+            return
+        self._pending_tcp = None
+        killed, fut = pend
+        tcp = fut.result()
+        if not hasattr(graph, "kf_tcp"):
+            graph.kf_tcp = {}
+        for i, (k, p) in enumerate(killed):
+            graph.kf_tcp[k] = (p, tcp[i])
 
     def local_ba(self, m: MapArrays, graph: MapGraph, new_kf: int):
         """Window BA: free set = new KF + covisible window; fixed frontier =
@@ -704,6 +718,7 @@ class LocalMapper:
         m = self._drain_fuse(m, graph)
         m = self.drain_ba_erase(m, graph)
         m = self._drain_ratio_cull(m, graph)
+        self._resolve_tcp(graph)
         return m
 
     def _drain_ratio_cull(self, m: MapArrays, graph: MapGraph):

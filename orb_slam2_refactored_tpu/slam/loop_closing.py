@@ -83,6 +83,27 @@ class LoopCloser:
             self.db.refit_idf()
         return v
 
+    def dispatch_detection(self, m: MapArrays, kf: int, fetch):
+        """Index keyframe `kf` and start the corpus-scoring query as an
+        off-thread fetch; `resolve_detection` consumes the result a frame
+        later. The device side (BoW transform + scoring matvec) needs no
+        host state, so it overlaps the keyframe-insert readback instead of
+        paying its own ~30 ms tunnel round trip."""
+        v = self.add_keyframe_bow(m, kf)
+        s_dev, cw_dev = self.db._scores2(self.db.bow, v, self.db.idf)
+        return (kf, fetch(s_dev), fetch(cw_dev))
+
+    def resolve_detection(self, graph: MapGraph, kf: int, pending) -> Optional[int]:
+        """Finish a `dispatch_detection` query: apply the host-side active
+        mask and run the detection policy."""
+        pkf, s_fut, cw_fut = pending
+        assert pkf == kf
+        s = s_fut.result().copy()
+        cw = cw_fut.result().copy()
+        s[~self.db.active] = -1.0
+        cw[~self.db.active] = 0
+        return self._detect_policy(graph, kf, s, cw)
+
     def detect(self, m: MapArrays, graph: MapGraph, kf: int, bow_vec) -> Optional[int]:
         """Returns a loop KF id when a consistent candidate exists.
 
@@ -91,18 +112,22 @@ class LoopCloser:
         MIN_CONSISTENCY consecutive detections (:164-241).
         """
         if kf - self.last_loop_kf < 10 or len(graph.alive_kfs()) < 10:
-            self.db  # still indexed; just no detection this early
+            return None  # still indexed; just no detection this early
+        s, cw = self.db._score_common(bow_vec)
+        return self._detect_policy(graph, kf, s, cw)
+
+    def _detect_policy(self, graph: MapGraph, kf: int, scores, common) -> Optional[int]:
+        if kf - self.last_loop_kf < 10 or len(graph.alive_kfs()) < 10:
             return None
         neighbors = graph.covis_neighbors(kf, top_k=30)
         min_score = 1.0
-        scores = self.db.scores_against_all(bow_vec)
         for nb in neighbors:
             if scores[nb] >= 0:
                 min_score = min(min_score, float(scores[nb]))
         min_score = max(min_score * 0.8, 0.02)
         exclude = set(neighbors) | {kf}
-        cands = self.db.detect_candidates_grouped(
-            bow_vec, exclude, min_score, graph
+        cands = self.db.candidates_from_scores(
+            scores, common, exclude, min_score, graph
         )
         if not cands:
             self.consistent_groups = []

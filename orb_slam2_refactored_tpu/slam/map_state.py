@@ -195,6 +195,14 @@ class MapGraph:
                 self.recycled_log.extend(take)
         return np.asarray(slots, np.int64)
 
+    def return_point_slots(self, slots):
+        """Give back allocated-but-unused point slots (the async keyframe
+        insert over-allocates, then the device reports how many it consumed).
+        Returned slots re-enter via the quarantine with an aged stamp, so
+        they are immediately re-allocatable."""
+        for s in slots:
+            self.pt_quarantine.insert(0, (int(s), self.num_kfs - 3))
+
     # -- covisibility -----------------------------------------------------
 
     def set_covis(self, a: int, b: int, w: int):

@@ -104,6 +104,19 @@ class TrackerConfig:
             )
 
 
+class _Resolved:
+    """Future-shaped wrapper around an already-materialized value."""
+
+    def __init__(self, v):
+        self._v = v
+
+    def done(self):
+        return True
+
+    def result(self):
+        return self._v
+
+
 class TrackState:
     NOT_INITIALIZED = 0
     OK = 1
@@ -183,6 +196,8 @@ class Tracker:
         self.last_loop_info = None
         self._gba_pending = None
         self._map_job = None  # in-flight local-mapping job: (kf_slot, stage)
+        self._pending_insert = None  # async KF-insert pack awaiting drain
+        self._loop_pending = None    # async loop-detection scores
         # worker thread for per-frame scalar-pack fetches (device->host
         # transfers release the GIL; the frame loop keeps dispatching)
         self._fetch_pool = ThreadPoolExecutor(1, "track-fetch")
@@ -213,6 +228,9 @@ class Tracker:
         self._step = jax.jit(self._step_impl)
         self._step_stereo = jax.jit(self._step_stereo_impl)
         self._insert_kf = jax.jit(self._insert_kf_impl, donate_argnums=(0,))
+        self._insert_kf_auto = jax.jit(
+            self._insert_kf_auto_impl, donate_argnums=(0,)
+        )
         self._reloc_match = jax.jit(self._reloc_match_impl)
         self._prepare_mono = jax.jit(self._prepare_mono_impl)
         self._mono_match = jax.jit(self._mono_match_impl)
@@ -595,9 +613,56 @@ class Tracker:
         # device->host transfer (each read costs a ~30ms tunnel round trip)
         return m, jnp.stack([all_mp, frame.level])
 
+    def _insert_kf_auto_impl(
+        self, m: MapArrays, slot, frame: FrameData, pose, feat_mp,
+        slot_buf, n_avail,
+    ):
+        """Keyframe insert with IN-GRAPH new-point selection.
+
+        The reference's CreateMapPoints picks the ~100 closest unassigned
+        close-depth features (`/root/reference/src/Tracking.cc:685-743`);
+        round 2's host version forced two [N]-array downloads (valid, depth)
+        per keyframe at ~30 ms tunnel RT each. Here the selection runs on
+        device: candidates = valid & close & unassigned, ranked by depth,
+        the top `n_avail` mapped onto pre-allocated point slots `slot_buf`
+        in feature order. The host replays the same mapping from ONE async
+        pack readback a frame later (see `_drain_insert`)."""
+        cfg = self.cfg
+        close_th = (cfg.bf / cfg.fx) * cfg.th_depth
+        cand = frame.valid & (frame.depth > 0) & (frame.depth < close_th) \
+            & (feat_mp < 0)
+        n = frame.capacity
+        max_new = slot_buf.shape[0]
+        depth_key = jnp.where(cand, frame.depth, jnp.inf)
+        order = jnp.argsort(depth_key)
+        rank = jnp.zeros((n,), jnp.int32).at[order].set(
+            jnp.arange(n, dtype=jnp.int32)
+        )
+        create = cand & (rank < jnp.minimum(n_avail, max_new))
+        # slots consumed in FEATURE-INDEX order (the host replays this)
+        buf_idx = jnp.cumsum(create.astype(jnp.int32)) - 1
+        new_slots = jnp.where(
+            create, slot_buf[jnp.clip(buf_idx, 0, max_new - 1)], INVALID
+        ).astype(jnp.int32)
+        m, packed = self._insert_kf_impl(m, slot, frame, pose, feat_mp, new_slots)
+        pack3 = jnp.concatenate(
+            [packed, create.astype(jnp.int32)[None, :]], axis=0
+        )
+        return m, packed[0], pack3
+
     # ------------------------------------------------------------------
     # host orchestration
     # ------------------------------------------------------------------
+
+    def _ref_kf_scalar(self):
+        """Device scalar of the current reference KF. ref_kf changes only at
+        keyframe events; caching avoids a fresh host->device scalar transfer
+        (~1 ms of tunnel RPC) every frame."""
+        r = max(self.ref_kf, 0)
+        c = getattr(self, "_ref_kf_cache", None)
+        if c is None or c[0] != r:
+            self._ref_kf_cache = c = (r, jnp.int32(r))
+        return c[1]
 
     def track_rgbd(self, img: np.ndarray, depth: np.ndarray, timestamp: float = 0.0):
         """Process one RGB-D frame; returns the world->camera pose f32[7].
@@ -616,7 +681,7 @@ class Tracker:
             lambda: self._step(
                 img_j, dep_j,
                 self.last_frame, self.last_mp_dev, self.map,
-                self.pose_dev, self.velocity_dev, jnp.int32(max(self.ref_kf, 0)),
+                self.pose_dev, self.velocity_dev, self._ref_kf_scalar(),
                 self.mp_vis_dev, self.mp_found_dev, self.local_mask_dev,
             ),
             timestamp,
@@ -631,7 +696,7 @@ class Tracker:
             lambda: self._step_stereo(
                 jnp.asarray(img_l), jnp.asarray(img_r),
                 self.last_frame, self.last_mp_dev, self.map,
-                self.pose_dev, self.velocity_dev, jnp.int32(max(self.ref_kf, 0)),
+                self.pose_dev, self.velocity_dev, self._ref_kf_scalar(),
                 self.mp_vis_dev, self.mp_found_dev, self.local_mask_dev,
             ),
             timestamp,
@@ -689,7 +754,7 @@ class Tracker:
             self._mono_track = jax.jit(impl)
         return self._mono_track(
             frame, self.last_frame, self.last_mp_dev, self.map,
-            self.pose_dev, self.velocity_dev, jnp.int32(max(self.ref_kf, 0)),
+            self.pose_dev, self.velocity_dev, self._ref_kf_scalar(),
             self.mp_vis_dev, self.mp_found_dev, self.local_mask_dev,
         )
 
@@ -901,7 +966,8 @@ class Tracker:
             save = (self.last_frame, self.last_mp_dev, self.last_mp,
                     self.pose_dev, self.velocity_dev)
             pose_np = self.pose.copy()
-            self._create_keyframe(frame, np.asarray(feat_mp_dev), ts)
+            self._create_keyframe(frame, np.asarray(feat_mp_dev), ts,
+                                  feat_mp_dev=feat_mp_dev)
             (self.last_frame, self.last_mp_dev, self.last_mp,
              self.pose_dev, self.velocity_dev) = save
             self.pose = pose_np
@@ -958,7 +1024,8 @@ class Tracker:
             self.frames_since_kf += 1
             need_kf = self._need_new_keyframe(n_inl, tracked_close, untracked_close)
             if need_kf:
-                slot = self._create_keyframe(frame, np.asarray(feat_mp_dev), timestamp)
+                slot = self._create_keyframe(frame, np.asarray(feat_mp_dev),
+                                             timestamp, feat_mp_dev=feat_mp_dev)
                 if slot < 0:  # capacity-frozen map: keep frame assignments
                     self.last_mp_dev = feat_mp_dev
             else:
@@ -1079,6 +1146,8 @@ class Tracker:
             self.loop_closer.consistent_groups = []
         self._gba_pending = None
         self._map_job = None
+        self._pending_insert = None
+        self._loop_pending = None
         if self.local_mapper is not None:
             self.local_mapper._pending_ba_erase = None
             self.local_mapper._pending_tri = None
@@ -1165,6 +1234,16 @@ class Tracker:
         loop_kf = self.loop_closer.detect(self.map, self.graph, slot, bow)
         if loop_kf is None:
             return
+        self._close_loop(frame, slot, loop_kf)
+
+    def _close_loop(self, frame: FrameData, slot: int, loop_kf: int):
+        """Sim3 computation + verification + loop correction for a detected
+        candidate (FindLoopInCandidateKFs + LoopCorrector::Correct,
+        `/root/reference/src/LoopClosing.cc:62-155,521-692`). Rare and
+        O(map)-sized, so it runs inline (the reference also stalls mapping
+        for the correction, `:532-544`)."""
+        import jax as _jax
+
         out = self.loop_closer.compute_sim3(
             self.map, slot, loop_kf, _jax.random.PRNGKey(slot)
         )
@@ -1181,8 +1260,12 @@ class Tracker:
         )
         self._gba_pending = info.pop("gba_pending", None)
         self.last_loop_info = {"loop_kf": loop_kf, "kf": slot, **info}
-        self.pose = np.asarray(self.map.kf_pose[slot])
-        self.pose_dev = jnp.asarray(self.pose)
+        # pipelined mode keeps the in-flight frames' device state (their
+        # predictions pre-date the correction; tracking re-acquires against
+        # the corrected map) — matching the old finalize save/restore.
+        if not self.cfg.pipelined:
+            self.pose = np.asarray(self.map.kf_pose[slot])
+            self.pose_dev = jnp.asarray(self.pose)
 
     def _ref_kf_tracked_points(self) -> int:
         """TrackedMapPoints(minObs) of the reference KF
@@ -1229,7 +1312,7 @@ class Tracker:
 
     def _create_keyframe(
         self, frame: FrameData, feat_mp: np.ndarray, timestamp: float,
-        create_mask: Optional[np.ndarray] = None,
+        create_mask: Optional[np.ndarray] = None, feat_mp_dev=None,
     ):
         cfg = self.cfg
         # complete the previous keyframe's mapping job FIRST: triangulation
@@ -1252,19 +1335,60 @@ class Tracker:
             return -1
         slot = self.graph.alloc_kf_slot()
         if create_mask is None:
-            valid = np.asarray(frame.valid)
-            depth = np.asarray(frame.depth)
-            close = (depth > 0) & (
-                depth < (cfg.bf / cfg.fx) * cfg.th_depth
+            # ---- async device path (steady-state keyframes) ----
+            # New-point selection runs inside the insert program (the old
+            # host path forced valid+depth downloads at ~30ms RT each); the
+            # pack (assignments, levels, created) streams back off-thread
+            # and the graph bookkeeping lands at the next pump call — the
+            # reference's mapping thread lag (src/LocalMapping.cc:57-91).
+            max_new = cfg.max_new_points_per_kf
+            got = self.graph.alloc_point_slots(max_new)
+            P = cfg.map_capacity.max_points
+            slot_buf = np.full(max_new, P, np.int32)
+            slot_buf[: len(got)] = got
+            if feat_mp_dev is None:
+                feat_mp_dev = jnp.asarray(feat_mp.astype(np.int32))
+            self.map, all_mp_dev, pack_dev = self._insert_kf_auto(
+                self.map, jnp.int32(slot), frame, jnp.asarray(self.pose),
+                feat_mp_dev, jnp.asarray(slot_buf), jnp.int32(len(got)),
             )
-            create_mask = valid & close & (feat_mp < 0)
-            # reference caps creation at the ~100 closest new points
-            # (src/Tracking.cc:685-743 sorted-depth loop)
-            if create_mask.sum() > cfg.max_new_points_per_kf:
-                cand = np.nonzero(create_mask)[0]
-                keep = cand[np.argsort(depth[cand])[: cfg.max_new_points_per_kf]]
-                create_mask = np.zeros_like(create_mask)
-                create_mask[keep] = True
+            self.graph.set_kf_alive(slot, True)
+            self.graph.kf_frame_id[slot] = self.frame_id
+            self.graph.kf_timestamp[slot] = timestamp
+            if self.graph.origin_kf < 0:
+                self.graph.origin_kf = slot
+            self.ref_kf = slot
+            self.ref_kf_tracked = max(int((feat_mp >= 0).sum()), 1)
+            self._ref_mp_row = None  # refined at drain
+            self.frames_since_kf = 0
+            self.last_mp = None
+            self.last_mp_dev = all_mp_dev
+            self.last_kf_frame = frame
+            # loop-closing detection query: BoW + corpus scoring need only
+            # device arrays — dispatch now so the scores cross the tunnel
+            # while the insert pack does
+            self._loop_pending = None
+            if (self.cfg.enable_loop_closing and self.loop_closer is not None
+                    and self.local_mapper is not None):
+                self._loop_pending = self.loop_closer.dispatch_detection(
+                    self.map, slot, self.local_mapper._fetch
+                )
+            fetch = (self.local_mapper._fetch if self.local_mapper is not None
+                     else None)
+            if fetch is not None:
+                pack_fut = fetch(pack_dev)
+            else:
+                pack_fut = _Resolved(np.asarray(pack_dev))
+            self._pending_insert = (slot, frame, pack_fut, got, timestamp)
+            self._map_job = (slot, -1)
+            if self.local_mapper is None:
+                # no mapping pump to drain the insert — resolve inline
+                self._drain_insert()
+                self._map_job = None
+            elif not self.cfg.pipelined:
+                self._complete_mapping()
+            return slot
+        # ---- explicit-mask path (bootstrap initialization) ----
         n_new = int(create_mask.sum())
         new_slots = np.full(frame.capacity, INVALID, np.int64)
         if n_new:
@@ -1308,6 +1432,44 @@ class Tracker:
         self.last_mp_dev = all_mp_dev
         self.last_kf_frame: FrameData = frame
 
+        self._post_insert(slot, frame, sync_loop=True)
+        if self.local_mapper is not None and self._map_job is not None \
+                and not self.cfg.pipelined:
+            self._complete_mapping()
+        return slot
+
+    def _drain_insert(self):
+        """Resolve the async keyframe-insert pack and do the deferred graph
+        bookkeeping + loop detection + triangulation dispatch (the work the
+        reference's mapping thread does when it dequeues a keyframe,
+        `/root/reference/src/LocalMapping.cc:303-333`)."""
+        slot, frame, pack_fut, got, _ts = self._pending_insert
+        self._pending_insert = None
+        pack = pack_fut.result()
+        all_mp, levels, created = pack[0], pack[1], pack[2].astype(bool)
+        # replay the device's slot mapping: created features consumed
+        # slot_buf[:n] in feature-index order; return the rest
+        n_created = int(created.sum())
+        if n_created < len(got):
+            self.graph.return_point_slots(got[n_created:])
+        self.graph.set_levels(slot, levels)
+        for f in np.nonzero(all_mp >= 0)[0]:
+            pt = int(all_mp[f])
+            if created[f]:
+                self.graph.pt_alive[pt] = True
+                self.graph.pt_first_kf[pt] = slot
+            self.graph.add_observation(pt, slot, int(f), False)
+        self.graph.update_connections(slot, all_mp)
+        if self.ref_kf == slot:
+            self.ref_kf_tracked = int((all_mp >= 0).sum())
+            self._ref_mp_row = all_mp.copy()
+            self.last_mp = all_mp
+        self._post_insert(slot, frame, sync_loop=False)
+
+    def _post_insert(self, slot: int, frame: FrameData, sync_loop: bool):
+        """Post-bookkeeping keyframe work: GBA merge, local-map window mask,
+        recycled-counter hygiene, loop closing, triangulation dispatch."""
+        cfg = self.cfg
         # merge any async global-BA result before growing the map further
         # (the reference's GBA thread merges under the map mutex,
         # src/LoopClosing.cc:370-452; here the merge lands at the next KF)
@@ -1348,14 +1510,27 @@ class Tracker:
                 self.mp_vis_dev, self.mp_found_dev, jnp.asarray(pad)
             )
 
-        # loop closing stage: BoW index + detection + Sim3 + correction
-        if self.cfg.enable_loop_closing:
-            self._loop_closing_stage(frame, slot)
+        # loop closing stage: BoW index + detection + Sim3 + correction.
+        # The async path dispatched the BoW/scoring query at KF creation;
+        # here (one frame later) the scores have crossed the tunnel and the
+        # detection logic runs on host mirrors.
+        if cfg.enable_loop_closing:
+            with self.timer.time("kf.loop"):
+                pend = getattr(self, "_loop_pending", None)
+                self._loop_pending = None
+                if sync_loop or self.loop_closer is None:
+                    self._loop_closing_stage(frame, slot)
+                elif pend is not None:
+                    loop_kf = self.loop_closer.resolve_detection(
+                        self.graph, slot, pend
+                    )
+                    if loop_kf is not None:
+                        self._close_loop(frame, slot, loop_kf)
 
         # local mapping stage (reference Update order, src/LocalMapping.cc:93-130:
         # triangulate -> fuse neighbors -> cull points -> local BA -> cull KFs).
-        # The stage runs as a 3-step state machine — the analog of the
-        # reference's mapping THREAD working one keyframe behind tracking
+        # The stage runs as a state machine — the analog of the reference's
+        # mapping THREAD working one keyframe behind tracking
         # (src/LocalMapping.cc:57-91). Pipelined mode pumps ONE step per
         # tracked frame, so every device->host readback has had a frame
         # (~1 tunnel RT) to land asynchronously and the frame loop never
@@ -1373,9 +1548,8 @@ class Tracker:
                     slot, self.mp_vis_dev, self.mp_found_dev
                 )
             self._map_job = (slot, 0)
-            if not self.cfg.pipelined:
-                self._complete_mapping()
-        return slot
+        else:
+            self._map_job = None
 
     def _pump_mapping(self, force: bool = False):
         """Advance the in-flight local-mapping job by one stage.
@@ -1389,6 +1563,16 @@ class Tracker:
         if lm is None or job is None:
             return
         slot, stage = job
+        if stage == -1:
+            pend = getattr(self, "_pending_insert", None)
+            if pend is None:
+                self._map_job = (slot, 0)
+                return
+            if not force and not pend[2].done():
+                return
+            with self.timer.time("kf.insert_drain"):
+                self._drain_insert()
+            return
         if stage == 0:
             if not force and not lm.tri_ready():
                 return

@@ -273,6 +273,17 @@ class KeyFrameDatabase:
         groups >= 0.75 * best accumulated score, return each kept group's
         best-scoring keyframe."""
         s, cw = self._score_common(query_vec)
+        return self.candidates_from_scores(
+            s, cw, exclude, min_score, graph, max_candidates
+        )
+
+    def candidates_from_scores(
+        self, s, cw, exclude: set, min_score: float, graph,
+        max_candidates: int = 10,
+    ):
+        """DetectLoopCandidates policy over already-fetched (score,
+        common-word) arrays — lets callers overlap the device query with
+        other tunnel traffic (see LoopCloser.dispatch_detection)."""
         for k in exclude:
             if 0 <= k < len(s):
                 s[k] = -1.0

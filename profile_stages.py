@@ -78,15 +78,19 @@ def main():
     rt = measure_rt()
     print(f"tunnel RT per fetch: {rt*1e3:.1f} ms")
 
+    s = cfg.depth_subsample
     img = jnp.asarray(imgs[30])
-    depth = jnp.asarray(depths[30])
+    depth = jnp.asarray(np.ascontiguousarray(np.asarray(depths[30])[::s, ::s]))
     m = tracker.map
     last, last_mp = tracker.last_frame, tracker.last_mp_dev
     pose, vel = tracker.pose_dev, tracker.velocity_dev
+    ref_kf = jnp.int32(max(tracker.ref_kf, 0))
+    mp_vis, mp_found = tracker.mp_vis_dev, tracker.mp_found_dev
+    local_mask = tracker.local_mask_dev
 
     # full fused step
     bench_stage("step (fused)", tracker._step, img, depth, last, last_mp, m,
-                pose, vel, rt=rt)
+                pose, vel, ref_kf, mp_vis, mp_found, local_mask, rt=rt)
     # extraction only
     prep = jax.jit(tracker._prepare_impl)
     bench_stage("prepare (extract+depth)", prep, img, depth, rt=rt)
@@ -94,7 +98,7 @@ def main():
     # track only
     trk = jax.jit(tracker._track_impl)
     bench_stage("track (match+LM)", trk, frame, last, last_mp, m, pose, vel,
-                rt=rt)
+                ref_kf, local_mask, rt=rt)
 
     # extraction sub-stages
     from orb_slam2_refactored_tpu.ops import fast as fast_ops

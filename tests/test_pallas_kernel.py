@@ -45,3 +45,26 @@ class TestPallasHamming:
         d = hamming.hamming_matrix(a, b)  # > threshold: probes and falls back
         assert d.shape == (2048, 1024)
         assert int(d.max()) <= 256
+
+
+class TestHammingMXU:
+    def test_mxu_form_bit_exact(self):
+        """The +-1 matmul form equals XOR+popcount exactly: the dot is a sum
+        of 256 terms in {+1,-1} (every partial sum an integer < 2^24, exact
+        in f32), so (256 - dot)/2 is the Hamming distance bit-for-bit."""
+        rng = np.random.default_rng(3)
+        a = jnp.asarray(rng.integers(0, 2**32, (97, 8), dtype=np.uint32))
+        b = jnp.asarray(rng.integers(0, 2**32, (131, 8), dtype=np.uint32))
+        ref = np.asarray(
+            jnp.sum(jnp.bitwise_count(
+                jnp.bitwise_xor(a[:, None, :], b[None, :, :])
+            ).astype(jnp.int32), axis=-1)
+        )
+        got = np.asarray(hamming.hamming_matrix_mxu(a, b))
+        np.testing.assert_array_equal(got, ref)
+
+    def test_mxu_extremes(self):
+        z = jnp.zeros((3, 8), jnp.uint32)
+        f = jnp.full((2, 8), 0xFFFFFFFF, jnp.uint32)
+        assert np.all(np.asarray(hamming.hamming_matrix_mxu(z, f)) == 256)
+        assert np.all(np.asarray(hamming.hamming_matrix_mxu(z, z)) == 0)
