@@ -79,9 +79,10 @@ def main():
                            # keep the scalar readback off the critical path
         map_capacity=MapCapacity(max_keyframes=128, max_points=32768,
                                  max_features=1000),
-        depth_subsample=2,  # tunnel upload bandwidth ~25MB/s is the frame
-                            # ceiling; half-res depth (sampled at keypoints,
-                            # outliers chi2-gated) halves the dominant payload.
+        depth_subsample=int(os.environ.get("BENCH_DEPTH_SUB", "2")),
+                            # tunnel upload bandwidth ~10-25MB/s is the frame
+                            # ceiling; subsampled depth (sampled at keypoints,
+                            # outliers chi2-gated) shrinks the dominant payload.
                             # The ATE gate below keeps this honest.
     )
     tracker = Tracker(cfg)
@@ -138,16 +139,14 @@ def main():
 
     try:
         rt = _rt()
-        s = cfg.depth_subsample
-        img_j = jnp.asarray(imgs[-1])
-        dep_j = jnp.asarray(np.ascontiguousarray(depths[-1][::s, ::s]))
-        args = (img_j, dep_j, tracker.last_frame, tracker.last_mp_dev,
+        buf_j = jnp.asarray(tracker._pack_rgbd(imgs[-1], depths[-1]))
+        args = (buf_j, tracker.last_frame, tracker.last_mp_dev,
                 tracker.map, tracker.pose_dev, tracker.velocity_dev,
                 jnp.int32(max(tracker.ref_kf, 0)),
                 tracker.mp_vis_dev, tracker.mp_found_dev,
                 tracker.local_mask_dev)
-        t_step = _stage(tracker._step, *args, rt=rt)
-        t_prep = _stage(tracker._prepare, img_j, dep_j, rt=rt)
+        t_step = _stage(tracker._step_packed, *args, rt=rt)
+        t_prep = _stage(tracker._prepare_packed, buf_j, rt=rt)
         print(f"[bench] device: step {t_step*1e3:.1f} ms "
               f"(extract {t_prep*1e3:.1f} ms), tunnel RT {rt*1e3:.1f} ms",
               file=sys.stderr)

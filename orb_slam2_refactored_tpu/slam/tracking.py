@@ -223,9 +223,15 @@ class Tracker:
         self.timer = StageTimer()
 
         self._prepare = jax.jit(self._prepare_impl)
+        self._prepare_packed = jax.jit(
+            lambda buf: self._prepare_impl(*self._unpack_impl(buf))
+        )
         self._prepare_stereo = jax.jit(self._prepare_stereo_impl)
         self._track = jax.jit(self._track_impl)
         self._step = jax.jit(self._step_impl)
+        self._step_packed = jax.jit(
+            lambda buf, *rest: self._step_impl(*self._unpack_impl(buf), *rest)
+        )
         self._step_stereo = jax.jit(self._step_stereo_impl)
         self._insert_kf = jax.jit(self._insert_kf_impl, donate_argnums=(0,))
         self._insert_kf_auto = jax.jit(
@@ -240,6 +246,43 @@ class Tracker:
     # ------------------------------------------------------------------
     # jitted programs
     # ------------------------------------------------------------------
+
+    def _packed_depth_hw(self) -> Tuple[int, int]:
+        s = self.cfg.depth_subsample
+        return -(-self.cfg.height // s), -(-self.cfg.width // s)
+
+    def _pack_rgbd(self, img: np.ndarray, depth: np.ndarray) -> np.ndarray:
+        """Pack (gray image, f16 subsampled depth) into ONE uint8 buffer.
+
+        The tunnel charges a fixed per-transfer overhead on top of ~10-25MB/s
+        of bandwidth; a single packed upload measurably beats two (and host
+        gray conversion cuts an RGB driver's payload 3x). The device side
+        unpacks with a bitcast — zero-copy in XLA."""
+        img = np.asarray(img)
+        if img.ndim == 3:  # ConvertToGray on host (src/System.cc:122-151)
+            img = (img.astype(np.float32) @
+                   np.array([0.299, 0.587, 0.114], np.float32))
+        img = np.ascontiguousarray(img, np.uint8)
+        s = self.cfg.depth_subsample
+        depth = np.asarray(depth)
+        if s > 1 and depth.shape[0] == self.cfg.height:
+            depth = depth[::s, ::s]
+        dep = np.ascontiguousarray(depth, np.float16)
+        hw = img.size
+        buf = np.empty(hw + dep.size * 2, np.uint8)
+        buf[:hw] = img.reshape(-1)
+        buf[hw:] = dep.view(np.uint8).reshape(-1)
+        return buf
+
+    def _unpack_impl(self, buf):
+        """Device-side unpack of `_pack_rgbd` (bitcast, no copies)."""
+        H, W = self.cfg.height, self.cfg.width
+        h, w = self._packed_depth_hw()
+        img = buf[: H * W].reshape(H, W)
+        dep = jax.lax.bitcast_convert_type(
+            buf[H * W : H * W + h * w * 2].reshape(h, w, 2), jnp.float16
+        )
+        return img, dep
 
     def _prepare_impl(self, img, depth_img) -> FrameData:
         """Extract ORB + associate depth (ComputeStereoFromRGBD analog,
@@ -671,15 +714,11 @@ class Tracker:
         host transfer (pose/velocity/stats pack). `feat_mp` and the frame
         arrays stay device-resident unless a keyframe is created.
         """
-        s = self.cfg.depth_subsample
-        if s > 1:
-            depth = np.ascontiguousarray(np.asarray(depth)[::s, ::s])
-        img_j = jnp.asarray(img)
-        dep_j = jnp.asarray(depth)
+        buf_j = jnp.asarray(self._pack_rgbd(img, depth))
         return self._run_frame(
-            lambda: self._prepare(img_j, dep_j),
-            lambda: self._step(
-                img_j, dep_j,
+            lambda: self._prepare_packed(buf_j),
+            lambda: self._step_packed(
+                buf_j,
                 self.last_frame, self.last_mp_dev, self.map,
                 self.pose_dev, self.velocity_dev, self._ref_kf_scalar(),
                 self.mp_vis_dev, self.mp_found_dev, self.local_mask_dev,

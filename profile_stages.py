@@ -79,6 +79,7 @@ def main():
     print(f"tunnel RT per fetch: {rt*1e3:.1f} ms")
 
     s = cfg.depth_subsample
+    buf = jnp.asarray(tracker._pack_rgbd(imgs[30], depths[30]))
     img = jnp.asarray(imgs[30])
     depth = jnp.asarray(np.ascontiguousarray(np.asarray(depths[30])[::s, ::s]))
     m = tracker.map
@@ -89,8 +90,9 @@ def main():
     local_mask = tracker.local_mask_dev
 
     # full fused step
-    bench_stage("step (fused)", tracker._step, img, depth, last, last_mp, m,
-                pose, vel, ref_kf, mp_vis, mp_found, local_mask, rt=rt)
+    bench_stage("step (fused,packed)", tracker._step_packed, buf, last,
+                last_mp, m, pose, vel, ref_kf, mp_vis, mp_found, local_mask,
+                rt=rt)
     # extraction only
     prep = jax.jit(tracker._prepare_impl)
     bench_stage("prepare (extract+depth)", prep, img, depth, rt=rt)
