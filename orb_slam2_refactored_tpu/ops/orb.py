@@ -189,6 +189,75 @@ def ic_angles(img, ys, xs):
     return jnp.arctan2(m01, m10)
 
 
+N_ANGLE_BINS = 64  # 5.6 deg: rotation quantization under the 0.5px rounding
+                   # the continuous path already applies at radius<=13
+
+
+def pattern_fits_window(pattern: str) -> bool:
+    """True when every rotated+rounded test point stays inside the 31x31
+    patch (radius <= 14). The fresh pattern is radius-clipped to 13; the
+    learned OpenCV table has corner points out to radius 18.4 (it samples
+    within the EDGE_THRESHOLD=19 margin instead), so it keeps the
+    full-image gather path."""
+    pat = get_pattern(pattern).astype(np.float64)
+    return float(np.sqrt((pat ** 2).sum(-1)).max()) <= HALF_PATCH - 1
+
+
+@functools.lru_cache(maxsize=2)
+def diff_tables(pattern: str) -> np.ndarray:
+    """int8[B,961,256] steered-BRIEF difference matrices.
+
+    For angle bin b, column i holds +1 at the rotated pattern point A and -1
+    at point B (flattened 31x31 window coords), so
+    `sign(window_flat @ D[b]) == (sample_A < sample_B)` — the BRIEF test as
+    ONE MXU contraction instead of 512 scalar gathers per keypoint. The
+    rotation is quantized to B bins (the continuous path rounds rotated
+    offsets to integers anyway, the same 0.5px scale as a 5.6 deg bin at
+    radius 13)."""
+    pat = get_pattern(pattern)
+    B = N_ANGLE_BINS
+    D = np.zeros((B, 961, 256), np.int8)
+    for b in range(B):
+        th = (b + 0.5) * 2 * np.pi / B - np.pi
+        c, s = np.cos(th), np.sin(th)
+        for i in range(256):
+            for j, sign in ((0, 1), (1, -1)):
+                x, y = pat[i, j]
+                rx = int(round(x * c - y * s))
+                ry = int(round(x * s + y * c))
+                D[b, (ry + HALF_PATCH) * PATCH_SIZE + (rx + HALF_PATCH), i] += sign
+    return D
+
+
+def _pack_bits(bits):
+    """bool[K,256] -> uint32[K,8] (exact f32 byte dot, then shifts)."""
+    byte_w = jnp.asarray([1, 2, 4, 8, 16, 32, 64, 128], jnp.float32)
+    bytes_f = bits.reshape(-1, 8, 4, 8).astype(jnp.float32) @ byte_w  # [K,8,4]
+    b = bytes_f.astype(jnp.uint32)
+    return b[:, :, 0] | (b[:, :, 1] << 8) | (b[:, :, 2] << 16) | (b[:, :, 3] << 24)
+
+
+def brief_descriptors_mxu(blurred, ys, xs, angles, pattern: str = "fresh"):
+    """Rotated-BRIEF via angle-binned difference matrices on the MXU.
+
+    The 512-sample flat gather costs ~3.3ms/frame across 8 levels on v5e;
+    this formulation gathers each keypoint's 31x31 blurred window (cheap
+    row-gather) and contracts it with a per-bin +-1 matrix — measured
+    ~0.8ms/frame, HBM-bandwidth-bound on the [K,961,256] table rows.
+    Descriptors differ from `brief_descriptors` only by the 5.6-deg angle
+    quantization (~11/256 bits on noise images, far less on blurred real
+    frames); all matching is internally consistent either way."""
+    D = jnp.asarray(diff_tables(pattern))  # int8[B,961,256] (HLO constant)
+    win = _gather_patches(blurred, ys, xs).reshape(-1, 961)
+    B = N_ANGLE_BINS
+    bin_ = jnp.floor((angles + np.pi) * (B / (2 * np.pi))).astype(jnp.int32) % B
+    diffs = jnp.einsum(
+        "kp,kpq->kq", win.astype(jnp.bfloat16), D[bin_].astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    )
+    return _pack_bits(diffs < 0)
+
+
 def brief_descriptors(blurred, ys, xs, angles, pattern: str = "fresh"):
     """Rotated-BRIEF 256-bit descriptors packed into uint32[K,8].
 
@@ -213,11 +282,7 @@ def brief_descriptors(blurred, ys, xs, angles, pattern: str = "fresh"):
     samples = blurred.reshape(-1)[
         (iy * w + ix).reshape(k, -1).reshape(-1)
     ].reshape(k, 256, 2)
-    bits = samples[..., 0] < samples[..., 1]  # [K,256] bool
-    byte_w = jnp.asarray([1, 2, 4, 8, 16, 32, 64, 128], jnp.float32)
-    bytes_f = bits.reshape(-1, 8, 4, 8).astype(jnp.float32) @ byte_w  # [K,8,4]
-    b = bytes_f.astype(jnp.uint32)
-    return b[:, :, 0] | (b[:, :, 1] << 8) | (b[:, :, 2] << 16) | (b[:, :, 3] << 24)
+    return _pack_bits(samples[..., 0] < samples[..., 1])
 
 
 # ---------------------------------------------------------------------------
@@ -251,6 +316,7 @@ class OrbExtractor:
         min_th_fast: float = 7.0,
         cell: int = 32,
         pattern: str = "fresh",
+        desc_mode: str = "mxu",
     ):
         self.height, self.width = height, width
         self.n_features = n_features
@@ -259,6 +325,7 @@ class OrbExtractor:
         self.ini_th, self.min_th = float(ini_th_fast), float(min_th_fast)
         self.cell = cell
         self.pattern = pattern
+        self.desc_mode = desc_mode
         self.budgets = features_per_level(n_features, n_levels, scale_factor)
         self.level_scales = [scale_factor ** l for l in range(n_levels)]
         self._extract = jax.jit(self._extract_impl)
@@ -292,7 +359,11 @@ class OrbExtractor:
             xs_c = jnp.clip(xs, EDGE_MARGIN, w - 1 - EDGE_MARGIN)
             ang = ic_angles(lvl, ys_c, xs_c)
             blurred = image_ops.gaussian_blur(lvl, 7, 2.0)
-            desc = brief_descriptors(blurred, ys_c, xs_c, ang, self.pattern)
+            desc_fn = (brief_descriptors_mxu
+                       if self.desc_mode == "mxu"
+                       and pattern_fits_window(self.pattern)
+                       else brief_descriptors)
+            desc = desc_fn(blurred, ys_c, xs_c, ang, self.pattern)
             s = self.level_scales[l]
             xy0 = jnp.stack([xs_c.astype(jnp.float32), ys_c.astype(jnp.float32)], -1) * s
             outs.append(
