@@ -132,31 +132,41 @@ def select_spread_topk(score, k: int, cell: int = 32, rank_rounds: int = 4):
     ph, pw = (-h) % cell, (-w) % cell
     sp = jnp.pad(score, ((0, ph), (0, pw)))
     hc, wc = (h + ph) // cell, (w + pw) // cell
-    tiles = sp.reshape(hc, cell, wc, cell).transpose(0, 2, 1, 3).reshape(hc * wc, cell * cell)
-    # rank within cell by response (descending). Only ranks < rank_rounds
-    # carry a boost, so extract them by iterated max instead of a full
-    # argsort (rank_rounds reduction passes vs an O(n log n) sort per tile;
-    # ties share a boost level, which the budget semantics tolerate).
+    C = hc * wc
+    tiles = sp.reshape(hc, cell, wc, cell).transpose(0, 2, 1, 3).reshape(C, cell * cell)
+    # rank within cell by iterated argmax: round r extracts each cell's
+    # r-th best corner. The global top-k then runs over the [rounds*C]
+    # candidate list instead of the full [H*W] image (a ~250x smaller
+    # top_k — the old image-wide scatter + top_k was ~1.4ms/frame). The
+    # candidate pool must comfortably exceed the budget: rounds*C >= 2k.
+    rounds = max(rank_rounds, -(-2 * k) // max(C, 1))
     work = tiles
-    boost = jnp.zeros_like(tiles)
-    for r in range(rank_rounds):
-        mx = jnp.max(work, axis=1, keepdims=True)
-        is_top = (work >= mx) & (work > 0)
-        boost = jnp.where(is_top, float(rank_rounds - r), boost)
-        work = jnp.where(is_top, -1.0, work)
+    keys, raws, poss = [], [], []
     big = 1e6
-    key = jnp.where(tiles > 0, big * boost + tiles, -1.0)
-    # scatter keys back to image layout
-    key_img = key.reshape(hc, wc, cell, cell).transpose(0, 2, 1, 3).reshape(
-        hc * cell, wc * cell
-    )[:h, :w]
-    flat = key_img.reshape(-1)
-    topv, topi = jax.lax.top_k(flat, k)
-    ys = topi // w
-    xs = topi % w
-    sel_scores = score.reshape(-1)[topi]
+    cidx = jnp.arange(C)
+    for r in range(rounds):
+        am = jnp.argmax(work, axis=1)  # [C]
+        mx = work[cidx, am]
+        # ranks beyond rank_rounds carry no boost (the reference's
+        # quad-tree only guarantees spread for the first occupants)
+        b = float(max(rank_rounds - r, 0))
+        keys.append(jnp.where(mx > 0, big * b + mx, -1.0))
+        raws.append(mx)
+        poss.append(am)
+        work = work.at[cidx, am].set(-1.0)
+    key = jnp.concatenate(keys)   # [rounds*C]
+    raw = jnp.concatenate(raws)
+    pos = jnp.concatenate(poss)
+    topv, topi = jax.lax.top_k(key, k)
+    c = topi % C
+    p = pos[topi]
+    ys = (c // wc) * cell + p // cell
+    xs = (c % wc) * cell + p % cell
+    sel_scores = raw[topi]
     valid = topv > 0
-    return ys, xs, sel_scores, valid
+    # padded-region pixels have score 0 and are excluded by `valid`, but
+    # clamp coords anyway for safe downstream gathers
+    return jnp.minimum(ys, h - 1), jnp.minimum(xs, w - 1), sel_scores, valid
 
 
 # ---------------------------------------------------------------------------

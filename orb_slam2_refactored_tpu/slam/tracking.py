@@ -458,10 +458,15 @@ class Tracker:
 
         inv_s2_feat = self.inv_sigma2[frame.level]
         has_mm = feat_pt_mm >= 0
+        # provisional estimate: 2 chi2 rounds suffice — the whole-map match
+        # + full 4-round LM below (r2) carries the final accuracy (the
+        # reference runs 4 rounds in BOTH passes, src/Optimizer.cc:417, but
+        # its second pass starts from scratch; ours warm-starts from r1)
         r1_mm = pose_optimize(
             pred, m.mp_pos[jnp.clip(feat_pt_mm, 0, m.point_capacity - 1)],
             frame.xy, frame.u_right, inv_s2_feat, has_mm, self.cam,
-            rounds=cfg.pose_opt_rounds, iters_per_round=cfg.pose_opt_iters,
+            rounds=min(cfg.pose_opt_rounds, 2),
+            iters_per_round=cfg.pose_opt_iters,
         )
         # fallback fires on starved matches OR starved post-opt inliers
         # (TrackWithMotionModel fails on nmatches<20 and on <10 inliers
