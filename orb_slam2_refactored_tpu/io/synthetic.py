@@ -41,7 +41,12 @@ def block_texture(u, v, seed: int, scales=(0.25, 0.5)):
     them, verified experimentally, but no true loop can be retrieved either).
     """
     if scales is None:
-        base = 0.18 + 0.1 * ((seed * 29) % 5)
+        # seed-varied block scales, clamped to a corner-dense range: at a
+        # typical 2m viewing distance with fx=260 these are 19-45px blocks,
+        # so every wall keeps enough FAST corners for tracking (a 0.58m
+        # block at that range is ~75px — one near-blank wall starves the
+        # extractor and tracking dies on luck, not geometry)
+        base = 0.15 + 0.05 * ((seed * 29) % 5)
         scales = (base, base * 2.3)
     val = np.zeros_like(u, dtype=np.float32)
     for k, s in enumerate(scales):

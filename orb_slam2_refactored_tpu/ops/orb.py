@@ -138,8 +138,11 @@ def select_spread_topk(score, k: int, cell: int = 32, rank_rounds: int = 4):
     # r-th best corner. The global top-k then runs over the [rounds*C]
     # candidate list instead of the full [H*W] image (a ~250x smaller
     # top_k — the old image-wide scatter + top_k was ~1.4ms/frame). The
-    # candidate pool must comfortably exceed the budget: rounds*C >= 2k.
-    rounds = max(rank_rounds, -(-2 * k) // max(C, 1))
+    # candidate pool must survive sparse occupancy: texture often covers
+    # only ~25% of cells (e.g. a close-up wall), so rounds*C >= 6k keeps
+    # pool_occupied = rounds * C/4 >= 1.5k. At VGA this stays ~5 rounds;
+    # small pyramid levels take more rounds of a much smaller argmax.
+    rounds = max(rank_rounds, -(-6 * k) // max(C, 1))
     work = tiles
     keys, raws, poss = [], [], []
     big = 1e6

@@ -1127,6 +1127,32 @@ class Tracker:
         )
         return res.success, r.pose, r.inliers, r.num_inliers
 
+    def _reloc_polish_impl(self, frame: FrameData, m: MapArrays, pose):
+        """Post-relocalization polish: projection-guided matching around the
+        coarse pose + full pose LM (the reference's second-chance search,
+        `src/Tracking.cc:399-441`: SearchByProjection radius 10 after the
+        EPnP pose, then PoseOptimization again)."""
+        lm, _ = matching.search_by_projection_with_vis(
+            frame.xy, frame.level, frame.desc, frame.valid,
+            m.mp_pos, m.mp_desc, m.mp_normal, m.mp_min_dist, m.mp_max_dist,
+            m.mp_valid, pose, self.cam, self.sf,
+            radius=10.0, image_bounds=self.image_bounds,
+        )
+        pidx = jnp.clip(lm.idx, 0, frame.capacity - 1)
+        feat_mp = jnp.full((frame.capacity,), INVALID, jnp.int32).at[pidx].max(
+            jnp.where(lm.valid, jnp.arange(m.point_capacity, dtype=jnp.int32),
+                      INVALID)
+        )
+        has = feat_mp >= 0
+        r = pose_optimize(
+            pose, m.mp_pos[jnp.clip(feat_mp, 0, m.point_capacity - 1)],
+            frame.xy, frame.u_right, self.inv_sigma2[frame.level], has,
+            self.cam, rounds=self.cfg.pose_opt_rounds,
+            iters_per_round=self.cfg.pose_opt_iters,
+        )
+        feat_final = jnp.where(r.inliers & has, feat_mp, INVALID)
+        return r.pose, feat_final, r.num_inliers
+
     def _relocalize(self, frame: FrameData) -> bool:
         """BoW candidate retrieval + RANSAC + pose refinement
         (`Relocalizer::Relocalize`, /root/reference/src/Tracking.cc:284-463).
@@ -1135,6 +1161,7 @@ class Tracker:
             return False
         if not hasattr(self, "_reloc_solve"):
             self._reloc_solve = jax.jit(self._reloc_solve_impl)
+            self._reloc_polish = jax.jit(self._reloc_polish_impl)
 
         v, _ = self.loop_closer.db.compute_bow(frame.desc, frame.valid)
         # covisibility-group accumulated scoring, shared-word 0.8 gate —
@@ -1158,19 +1185,20 @@ class Tracker:
             if not bool(success):
                 continue
 
-            class r:  # noqa: N801 - lightweight result view
-                pass
-            r.pose, r.inliers, r.num_inliers = pose, inliers, n_inl
-            if int(r.num_inliers) < 20:
+            if int(n_inl) < 20:
                 continue
-            self.pose = np.asarray(r.pose)
+            # polish: projection-guided matching around the coarse pose +
+            # full pose LM (the reference re-searches + re-optimizes when
+            # the first solve is thin, src/Tracking.cc:399-441)
+            pose, feat_final, n_inl2 = self._reloc_polish(frame, self.map, pose)
+            if int(n_inl2) < 20:
+                continue
+            self.pose = np.asarray(pose)
             self.pose_dev = jnp.asarray(self.pose)
             self.velocity = np.asarray(se3.identity())
             self.velocity_dev = jnp.asarray(self.velocity)
             self.last_frame = frame
-            self.last_mp_dev = jnp.where(
-                jnp.asarray(np.asarray(r.inliers)), feat_pt, INVALID
-            )
+            self.last_mp_dev = feat_final
             self.state = TrackState.OK
             return True
         return False
@@ -1232,9 +1260,15 @@ class Tracker:
     # k-majority clustering real appearance diversity
     VOCAB_TRAIN_KFS = 4
 
-    def _loop_closing_stage(self, frame: FrameData, slot: int):
-        import jax as _jax
+    def _ensure_bow_index(self, slot: int):
+        """Create the vocabulary + BoW database when enough keyframes have
+        accumulated, and index keyframe `slot`. Returns the BoW vector (or
+        None while the vocabulary is still warming up).
 
+        This runs REGARDLESS of loop closing: the reference's
+        KeyFrameDatabase serves both loop detection and relocalization
+        (`src/KeyFrameDatabase.cc:68-265`), so a tracker with loop closing
+        disabled must still be able to relocalize after a loss."""
         from .loop_closing import LoopCloser
         from .vocabulary import train_vocabulary
 
@@ -1245,7 +1279,7 @@ class Tracker:
             pending.append(slot)
             if self.vocabulary is None:
                 if len(pending) < self.VOCAB_TRAIN_KFS:
-                    return
+                    return None
                 # pool the pending keyframes' descriptors (one small read
                 # per KF, once per session) and train
                 descs = []
@@ -1257,7 +1291,7 @@ class Tracker:
                     descs.append(kf_desc[i][kf_val[i]])
                 desc = np.concatenate(descs)
                 if len(desc) < 32:
-                    return
+                    return None
                 self.vocabulary = train_vocabulary(
                     desc, n_words=min(self.cfg.vocab_words, len(desc)), iters=6
                 )
@@ -1274,7 +1308,12 @@ class Tracker:
                 if self.graph.kf_alive[k]:
                     self.loop_closer.add_keyframe_bow(self.map, int(k))
             self._vocab_pending = []
-        bow = self.loop_closer.add_keyframe_bow(self.map, slot)
+        return self.loop_closer.add_keyframe_bow(self.map, slot)
+
+    def _loop_closing_stage(self, frame: FrameData, slot: int):
+        bow = self._ensure_bow_index(slot)
+        if bow is None or not self.cfg.enable_loop_closing:
+            return
         loop_kf = self.loop_closer.detect(self.map, self.graph, slot, bow)
         if loop_kf is None:
             return
@@ -1554,22 +1593,25 @@ class Tracker:
                 self.mp_vis_dev, self.mp_found_dev, jnp.asarray(pad)
             )
 
-        # loop closing stage: BoW index + detection + Sim3 + correction.
+        # BoW index + loop closing stage. Index maintenance runs even with
+        # loop closing disabled — the database serves relocalization too
+        # (reference KeyFrameDatabase, src/KeyFrameDatabase.cc:68-265).
         # The async path dispatched the BoW/scoring query at KF creation;
         # here (one frame later) the scores have crossed the tunnel and the
         # detection logic runs on host mirrors.
-        if cfg.enable_loop_closing:
-            with self.timer.time("kf.loop"):
-                pend = getattr(self, "_loop_pending", None)
-                self._loop_pending = None
-                if sync_loop or self.loop_closer is None:
-                    self._loop_closing_stage(frame, slot)
-                elif pend is not None:
-                    loop_kf = self.loop_closer.resolve_detection(
-                        self.graph, slot, pend
-                    )
-                    if loop_kf is not None:
-                        self._close_loop(frame, slot, loop_kf)
+        with self.timer.time("kf.loop"):
+            pend = getattr(self, "_loop_pending", None)
+            self._loop_pending = None
+            if pend is not None:
+                loop_kf = self.loop_closer.resolve_detection(
+                    self.graph, slot, pend
+                )
+                if loop_kf is not None:
+                    self._close_loop(frame, slot, loop_kf)
+            elif cfg.enable_loop_closing:
+                self._loop_closing_stage(frame, slot)
+            else:
+                self._ensure_bow_index(slot)
 
         # local mapping stage (reference Update order, src/LocalMapping.cc:93-130:
         # triangulate -> fuse neighbors -> cull points -> local BA -> cull KFs).

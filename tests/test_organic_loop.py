@@ -61,6 +61,13 @@ def run(frames, loop: bool):
         bf=0.08 * 260.0, n_features=600, n_levels=4,
         enable_loop_closing=loop, vocab_words=1024,
         kf_max_interval=8,
+        # covisibility-window local-map matching (the reference's
+        # Tracking::LocalMap semantics, src/Tracking.cc:55-185): on the
+        # revisit the tracker can only match against the drifted local map,
+        # so accumulated drift persists and loop closing must fix it — the
+        # whole-map brute-force path would silently re-acquire first-lap
+        # landmarks and mask the drift this test is about.
+        local_map_window=10,
         map_capacity=MapCapacity(max_keyframes=96, max_points=16384,
                                  max_features=600),
     )
