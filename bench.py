@@ -75,8 +75,11 @@ def main():
     cfg = TrackerConfig(
         width=640, height=480, fx=520.0, fy=520.0, cx=320.0, cy=240.0,
         bf=0.08 * 520.0, n_features=1000, n_levels=8, pipelined=True,
-        pipeline_depth=4,  # tunnel RT varies 25-55ms; 4 in-flight frames
-                           # keep the scalar readback off the critical path
+        pipeline_depth=int(os.environ.get("BENCH_PIPE", "6")),
+                           # tunnel RT varies 25-55ms; 6 in-flight frames keep
+                           # the scalar readback off the critical path (4 ->
+                           # 66.8 fps, 6 -> 74-87 fps, 8 lags the KF decision
+                           # too far and loses accuracy-driven throughput)
         map_capacity=MapCapacity(max_keyframes=128, max_points=32768,
                                  max_features=1000),
         depth_subsample=int(os.environ.get("BENCH_DEPTH_SUB", "2")),
