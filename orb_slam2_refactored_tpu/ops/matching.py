@@ -94,12 +94,21 @@ def search_by_projection(
     max_dist: int = hamming.TH_HIGH,
     check_view_angle: bool = True,
     image_bounds=None,
+    candidate_cap: int = 8192,
 ) -> Matches:
     """Match local-map points into a frame by projecting and searching a
     radius window at the predicted scale (SearchByProjection :315 + IsInFrustum
     `src/Tracking.cc:554-605` semantics, fused).
 
     Returns per-POINT matches: idx[i] = feature index for map point i.
+
+    candidate_cap: when the point capacity exceeds it, the [P,N] candidate
+    matrices (pixel window, level gate, Hamming) are built only for the
+    top-`cap` frustum-passing points — the per-point gates are O(P) and
+    cheap, the pairwise matrices dominate HBM traffic. Points beyond the
+    cap in one frame are dropped for that frame only (maps with >8k
+    concurrently visible landmarks should track through the covisibility
+    window, `TrackerConfig.local_map_window`). 0 disables the compaction.
     """
     n_levels = scale_factors.shape[0]
     log_sf = jnp.log(scale_factors[1] / scale_factors[0])
@@ -140,17 +149,41 @@ def search_by_projection(
 
     point_ok = mp_valid & in_front & in_img & in_band & view_ok
 
-    # window gate: pixel distance < radius * scale(pred_level), level within +-1
+    # window radius at the predicted scale
     r = radius * scale_factors[pred_level]  # [P]
-    d2 = jnp.sum((uv[:, None, :] - frame_xy[None, :, :]) ** 2, axis=-1)  # [P,N]
-    win = d2 <= (r[:, None] ** 2)
-    lvl_ok = jnp.abs(frame_level[None, :] - pred_level[:, None]) <= 1
-    mask = point_ok[:, None] & frame_valid[None, :] & win & lvl_ok
 
-    d = hamming.hamming_matrix(mp_desc, frame_desc)
+    P = mp_pos.shape[0]
+    compact = bool(candidate_cap) and candidate_cap < P
+    if compact:
+        # all per-point gates are computed; only frustum-passing points get
+        # rows in the pairwise matrices below
+        _, cand = jax.lax.top_k(point_ok.astype(jnp.float32), candidate_cap)
+        uv_r = uv[cand]
+        r_r = r[cand]
+        lvl_r = pred_level[cand]
+        ok_r = point_ok[cand]
+        desc_r = mp_desc[cand]
+    else:
+        uv_r, r_r, lvl_r, ok_r, desc_r = uv, r, pred_level, point_ok, mp_desc
+
+    # window gate: pixel distance < radius * scale(pred_level), level within +-1
+    d2 = jnp.sum((uv_r[:, None, :] - frame_xy[None, :, :]) ** 2, axis=-1)
+    win = d2 <= (r_r[:, None] ** 2)
+    lvl_ok = jnp.abs(frame_level[None, :] - lvl_r[:, None]) <= 1
+    mask = ok_r[:, None] & frame_valid[None, :] & win & lvl_ok
+
+    d = hamming.hamming_matrix(desc_r, frame_desc)
     idx, best, _ = hamming.masked_best2(d, mask)
-    ok = point_ok & (best <= max_dist)
+    ok = ok_r & (best <= max_dist)
     keep = hamming.resolve_duplicates(idx, best, ok, frame_desc.shape[0])
+    if compact:
+        # scatter the candidate-row results back onto point rows
+        idx_p = jnp.full((P,), -1, idx.dtype).at[cand].set(
+            jnp.where(keep, idx, -1)
+        )
+        best_p = jnp.full((P,), hamming.BIG, best.dtype).at[cand].set(best)
+        keep_p = jnp.zeros((P,), bool).at[cand].set(keep)
+        return Matches(idx_p, best_p, keep_p)
     return Matches(jnp.where(keep, idx, -1), best, keep)
 
 

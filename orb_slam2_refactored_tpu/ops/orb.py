@@ -260,8 +260,12 @@ def brief_descriptors_mxu(blurred, ys, xs, angles, pattern: str = "fresh"):
     Descriptors differ from `brief_descriptors` only by the 5.6-deg angle
     quantization (~11/256 bits on noise images, far less on blurred real
     frames); all matching is internally consistent either way."""
-    D = jnp.asarray(diff_tables(pattern))  # int8[B,961,256] (HLO constant)
     win = _gather_patches(blurred, ys, xs).reshape(-1, 961)
+    return _brief_from_windows(win, angles, pattern)
+
+
+def _brief_from_windows(win, angles, pattern: str):
+    D = jnp.asarray(diff_tables(pattern))  # int8[B,961,256] (HLO constant)
     B = N_ANGLE_BINS
     bin_ = jnp.floor((angles + np.pi) * (B / (2 * np.pi))).astype(jnp.int32) % B
     diffs = jnp.einsum(
@@ -269,6 +273,27 @@ def brief_descriptors_mxu(blurred, ys, xs, angles, pattern: str = "fresh"):
         preferred_element_type=jnp.float32,
     )
     return _pack_bits(diffs < 0)
+
+
+def angles_and_descriptors_mxu(blurred, ys, xs, pattern: str = "fresh"):
+    """IC-angle + rotated-BRIEF from ONE 31x31 blurred-window gather.
+
+    The intensity-centroid moments become a [K,961]@[961,2] matmul over the
+    same gathered windows the BRIEF contraction reads, so the per-level
+    patch gather happens once instead of twice (the raw-image gather for
+    IC_Angle was ~0.7ms/frame of the extract step). Deviation from the
+    reference (`IC_Angle` reads the UNBLURRED image, src/ORBextractor.cc:74):
+    the centroid of the sigma=2-blurred patch differs by well under the
+    5.6-deg bin quantization the MXU BRIEF already applies, and both the
+    angle and the descriptor are self-consistent across all matcher uses."""
+    win = _gather_patches(blurred, ys, xs).reshape(-1, 961)
+    _, xm, ym = circular_patch_masks()
+    mom = jnp.asarray(
+        np.stack([xm.reshape(-1), ym.reshape(-1)], axis=1)
+    )  # f32[961,2]
+    m = win @ mom  # [K,2] = (m10, m01)
+    ang = jnp.arctan2(m[:, 1], m[:, 0])
+    return ang, _brief_from_windows(win, ang, pattern)
 
 
 def brief_descriptors(blurred, ys, xs, angles, pattern: str = "fresh"):
@@ -370,13 +395,16 @@ class OrbExtractor:
             # clamp for safe gathers on invalid (padded) slots
             ys_c = jnp.clip(ys, EDGE_MARGIN, h - 1 - EDGE_MARGIN)
             xs_c = jnp.clip(xs, EDGE_MARGIN, w - 1 - EDGE_MARGIN)
-            ang = ic_angles(lvl, ys_c, xs_c)
             blurred = image_ops.gaussian_blur(lvl, 7, 2.0)
-            desc_fn = (brief_descriptors_mxu
-                       if self.desc_mode == "mxu"
-                       and pattern_fits_window(self.pattern)
-                       else brief_descriptors)
-            desc = desc_fn(blurred, ys_c, xs_c, ang, self.pattern)
+            if self.desc_mode == "mxu" and pattern_fits_window(self.pattern):
+                # one window gather feeds both the IC-angle moments and the
+                # BRIEF contraction (see angles_and_descriptors_mxu)
+                ang, desc = angles_and_descriptors_mxu(
+                    blurred, ys_c, xs_c, self.pattern
+                )
+            else:
+                ang = ic_angles(lvl, ys_c, xs_c)
+                desc = brief_descriptors(blurred, ys_c, xs_c, ang, self.pattern)
             s = self.level_scales[l]
             xy0 = jnp.stack([xs_c.astype(jnp.float32), ys_c.astype(jnp.float32)], -1) * s
             outs.append(
