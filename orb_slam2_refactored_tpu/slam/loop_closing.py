@@ -117,6 +117,8 @@ class LoopCloser:
         return self._detect_policy(graph, kf, s, cw)
 
     def _detect_policy(self, graph: MapGraph, kf: int, scores, common) -> Optional[int]:
+        import os as _os
+        _dbg = _os.environ.get("TPU_SLAM_DEBUG_LOOP")
         if kf - self.last_loop_kf < 10 or len(graph.alive_kfs()) < 10:
             return None
         neighbors = graph.covis_neighbors(kf, top_k=30)
@@ -129,6 +131,13 @@ class LoopCloser:
         cands = self.db.candidates_from_scores(
             scores, common, exclude, min_score, graph
         )
+        if _dbg:
+            import numpy as _np
+            top = _np.argsort(scores)[::-1][:6]
+            print(f"[loop] kf={kf} min_score={min_score:.4f} "
+                  f"nb={sorted(neighbors)[:12]} cands={cands} "
+                  f"top={[(int(t), round(float(scores[t]), 4)) for t in top]}",
+                  flush=True)
         if not cands:
             self.consistent_groups = []
             return None
@@ -277,7 +286,11 @@ class LoopCloser:
                     m.mp_min_dist, m.mp_max_dist,
                     m.mp_valid & loop_mask,
                     pose_cw, self.cam, self._sf_arr,
-                    radius=10.0, check_view_angle=False,
+                    # strict TH_LOW + viewing-angle gate, as the reference's
+                    # Scw projection (src/ORBmatcher.cc:518-604,570): a loose
+                    # TH_HIGH gate lets repetitive-texture aliases accumulate
+                    # 40+ spurious matches and accept a false loop
+                    radius=10.0, max_dist=50, check_view_angle=True,
                 )
             self._proj_verify = jax.jit(impl)
         # corrected world->camera pose of the current KF

@@ -52,6 +52,16 @@ def _np_compose(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return np.concatenate([q, t.astype(np.float32)])
 
 
+def _np_inverse(a: np.ndarray) -> np.ndarray:
+    """Host-side se3 inverse (layout & semantics of geometry.se3.inverse)."""
+    q = np.array([a[0], -a[1], -a[2], -a[3]], np.float32)
+    u, w = q[1:4], q[0]
+    v = -a[4:7]
+    uv = np.cross(u, v)
+    t = v + 2.0 * (w * uv + np.cross(u, uv))
+    return np.concatenate([q, t.astype(np.float32)])
+
+
 def corrected_frame_poses(tracker: Tracker) -> np.ndarray:
     """Per-frame world->camera poses with loop/GBA corrections applied.
 

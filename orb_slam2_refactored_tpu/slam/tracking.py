@@ -76,6 +76,16 @@ class TrackerConfig:
     local_ba_iters: int = 3
     local_ba_cg_iters: int = 12
     enable_loop_closing: bool = False
+    # Implicit loop closure (no reference analog — a consequence of this
+    # architecture's whole-map projection matching): when a new keyframe's
+    # covisibility edges reach a keyframe more than this many FRAMES older
+    # that was NOT connected to the previous keyframe's context, tracking
+    # has silently re-acquired a revisited region. The reference cannot hit
+    # this state (its local-map matching never reconnects across drift); we
+    # must treat it as a detected loop — same Sim3 verification + essential
+    # graph correction — or the drifted middle of the trajectory is never
+    # repaired. 0 disables. Requires enable_loop_closing.
+    implicit_loop_min_gap: int = 50
     vocab_words: int = 512
     mono_init_min_matches: int = 100  # src/Tracking.cc:1044 (<100 resets init)
     max_new_points_per_kf: int = 350  # reference stops at 100 (src/Tracking.cc:685-743)
@@ -1319,7 +1329,47 @@ class Tracker:
             return
         self._close_loop(frame, slot, loop_kf)
 
-    def _close_loop(self, frame: FrameData, slot: int, loop_kf: int):
+    def _implicit_loop_candidate(self, slot: int) -> Optional[int]:
+        """Detect a silent re-acquisition: a strong covisibility edge from
+        the new keyframe to a temporally distant keyframe that the PREVIOUS
+        keyframe's context was not connected to. Whole-map projection
+        matching creates these edges on revisits under moderate drift; the
+        edge glues the current pose to the old map but leaves the drifted
+        middle of the chain uncorrected — exactly the state the essential
+        graph optimization exists to repair (see implicit_loop_min_gap)."""
+        g = self.graph
+        gap = self.cfg.implicit_loop_min_gap
+        lc = self.loop_closer
+        if gap <= 0 or lc is None or slot - lc.last_loop_kf < 10:
+            return None
+        if len(g.alive_kfs()) < 10:
+            return None
+        fid = g.kf_frame_id
+        cur = fid[slot]
+        nbs = g.covis_neighbors(slot, min_weight=15, top_k=30)
+        old = [n for n in nbs if cur - fid[n] > gap]
+        import os as _os
+        if _os.environ.get("TPU_SLAM_DEBUG_LOOP"):
+            print(f"[implicit?] slot={slot} cur_fid={cur} nbs={nbs} "
+                  f"old={old}", flush=True)
+        if not old:
+            return None
+        # previous (temporal) keyframe: if its context already included the
+        # old region, the camera merely lingered — not a revisit
+        prev, best_fid = None, -1
+        for k in g.alive_kfs():
+            if k != slot and best_fid < fid[k] < cur:
+                prev, best_fid = k, fid[k]
+        if prev is None:
+            return None
+        prev_ctx = set(g.covis_neighbors(prev, top_k=30)) | {prev}
+        for n in old:
+            if n not in prev_ctx:
+                return int(n)
+        return None
+
+    def _close_loop(self, frame: FrameData, slot: int, loop_kf: int,
+                    implicit: bool = False):
         """Sim3 computation + verification + loop correction for a detected
         candidate (FindLoopInCandidateKFs + LoopCorrector::Correct,
         `/root/reference/src/LoopClosing.cc:62-155,521-692`). Rare and
@@ -1327,15 +1377,61 @@ class Tracker:
         for the correction, `:532-544`)."""
         import jax as _jax
 
+        import os as _os
+        _dbg = _os.environ.get("TPU_SLAM_DEBUG_LOOP")
+        if implicit:
+            # Whole-map matching already aligned the current keyframe to the
+            # revisited region (they share >=15 inlier landmarks), so the
+            # relative Sim3 is the TRACKED relative pose at scale 1 — a
+            # descriptor-matched Horn solve would only re-derive it (or worse,
+            # alias). The drift lives in the chain BETWEEN them; it is encoded
+            # in this keyframe's mixed observations (re-acquired old landmarks
+            # + drifted recent ones), which is exactly the signal global BA
+            # consumes. So: strict projection verification, loop edge for the
+            # essential graph, async global BA.
+            from ..geometry import sim3 as _sim3
+            from .system import _np_compose, _np_inverse
+            kf_poses = np.asarray(self.map.kf_pose)  # rare event: one fetch
+            rel = _np_compose(kf_poses[slot], _np_inverse(kf_poses[loop_kf]))
+            S = _sim3.from_se3(jnp.asarray(rel))
+            ok, n_proj = self.loop_closer.verify_by_projection(
+                self.map, self.graph, slot, loop_kf, S, min_matches=25,
+            )
+            if _dbg:
+                print(f"[close_loop] implicit slot={slot} loop={loop_kf}: "
+                      f"proj ok={ok} n={n_proj}", flush=True)
+            if not ok:
+                return
+            self.graph.loop_edges.setdefault(slot, set()).add(loop_kf)
+            self.graph.loop_edges.setdefault(loop_kf, set()).add(slot)
+            pending = self.loop_closer.launch_gba(self.map, self.graph)
+            self._gba_pending = pending
+            self.loop_closer.last_loop_kf = slot
+            self.loop_closer.loops_closed += 1
+            self.last_loop_info = {
+                "loop_kf": loop_kf, "kf": slot, "implicit": True,
+                "n_proj": int(n_proj),
+            }
+            return
         out = self.loop_closer.compute_sim3(
             self.map, slot, loop_kf, _jax.random.PRNGKey(slot)
         )
         if out is None:
+            if _dbg:
+                print(f"[close_loop] slot={slot} loop={loop_kf}: sim3 FAILED",
+                      flush=True)
             return
         S, inl, pt_a, pt_b = out
         ok, n_proj = self.loop_closer.verify_by_projection(
             self.map, self.graph, slot, loop_kf, S
         )
+        if _dbg:
+            rel = np.asarray(se3.compose(
+                self.map.kf_pose[slot], se3.inverse(self.map.kf_pose[loop_kf])
+            ))
+            print(f"[close_loop] slot={slot} loop={loop_kf}: proj ok={ok} "
+                  f"n={n_proj} S={np.asarray(S).round(3)} "
+                  f"rel={rel.round(3)}", flush=True)
         if not ok:
             return
         self.map, info = self.loop_closer.correct(
@@ -1602,6 +1698,8 @@ class Tracker:
         with self.timer.time("kf.loop"):
             pend = getattr(self, "_loop_pending", None)
             self._loop_pending = None
+            before = (self.loop_closer.loops_closed
+                      if self.loop_closer is not None else 0)
             if pend is not None:
                 loop_kf = self.loop_closer.resolve_detection(
                     self.graph, slot, pend
@@ -1612,6 +1710,20 @@ class Tracker:
                 self._loop_closing_stage(frame, slot)
             else:
                 self._ensure_bow_index(slot)
+            # a candidate that failed the Sim3/projection gates did NOT
+            # close a loop — the implicit check below must still run
+            fired = (self.loop_closer is not None
+                     and self.loop_closer.loops_closed > before)
+            # implicit loop closure: whole-map matching re-acquired a
+            # graph-distant region (see _implicit_loop_candidate) — run the
+            # same Sim3-verified correction the BoW path would
+            if cfg.enable_loop_closing and not fired:
+                cand = self._implicit_loop_candidate(slot)
+                if cand is not None:
+                    import os as _os
+                    if _os.environ.get("TPU_SLAM_DEBUG_LOOP"):
+                        print(f"[implicit] slot={slot} cand={cand}", flush=True)
+                    self._close_loop(frame, slot, cand, implicit=True)
 
         # local mapping stage (reference Update order, src/LocalMapping.cc:93-130:
         # triangulate -> fuse neighbors -> cull points -> local BA -> cull KFs).

@@ -68,11 +68,22 @@ def horn_ransac(
 ) -> RansacResult:
     """RANSAC absolute orientation between matched 3D sets [M,3].
 
-    inlier gate: squared euclidean distance in dst frame (the reference gates
-    on reprojection in both images; 3D gating is the rectified equivalent for
-    our use sites, threshold in m^2)."""
+    inlier gate: squared euclidean distance gated in BOTH frames (the
+    reference's Sim3Solver checks reprojection in both images,
+    src/Sim3Solver.cc:245-246 err1/err2) — the backward residual is the
+    forward one divided by s^2, so the two-sided gate is
+    e2 < th * min(1, s^2). One-sided 3D gating is degenerate under
+    with_scale: a tiny s maps every source point near one spot and buys
+    spurious inliers. Threshold in m^2."""
     M = x_src.shape[0]
     keys = jax.random.split(key, n_iters)
+
+    def gate(e2, s):
+        # a proper similarity has s > 0; reflections (negative Horn scale)
+        # and extreme scales (|log s| > log 4 — far beyond plausible SLAM
+        # scale drift over one loop) are degenerate fits, not solutions
+        s_ok = (s > 0.25) & (s < 4.0)
+        return (e2 < inlier_th * jnp.minimum(1.0, s * s)) & s_ok
 
     def hyp(k):
         g = jax.random.gumbel(k, (M,)) + jnp.where(valid, 0.0, -1e9)
@@ -80,7 +91,7 @@ def horn_ransac(
         q, t, s = horn_align(x_src[idx], x_dst[idx], with_scale)
         pred = s * se3.quat_rotate(q[None], x_src) + t[None]
         e2 = jnp.sum((pred - x_dst) ** 2, -1)
-        inl = valid & (e2 < inlier_th)
+        inl = valid & gate(e2, s)
         return inl.sum(), q, t, s, inl
 
     n_inl, qs, ts, ss, inls = jax.vmap(hyp)(keys)
@@ -111,7 +122,7 @@ def horn_ransac(
     q, t, s = refine(None)
     pred = s * se3.quat_rotate(q[None], x_src) + t[None]
     e2 = jnp.sum((pred - x_dst) ** 2, -1)
-    inl = valid & (e2 < inlier_th)
+    inl = valid & gate(e2, s)
     return RansacResult(
         success=inl.sum() >= min_inliers,
         pose=se3.make(q, t),
