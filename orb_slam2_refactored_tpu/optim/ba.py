@@ -188,18 +188,26 @@ def ba_solve(
     chi2_gate: bool = True,
     axis_name: str = None,
     lambda0: float = 1e-4,
+    dense_schur: bool = False,
 ) -> BAResult:
     """When `axis_name` is given, the problem's keyframe axis is assumed
     sharded under `shard_map(mesh, axis_name)` with point arrays replicated:
     all point-space reductions and CG scalars become psums over ICI — the
-    keyframe-sharded distributed global BA of BASELINE.json configs[4]."""
+    keyframe-sharded distributed global BA of BASELINE.json configs[4].
+
+    `dense_schur=True` forms the reduced camera system S explicitly
+    ([K*6, K*6], one batched application of S to the identity) and solves it
+    directly — the TPU-optimal shape for SMALL K (window BA, K<=32): the CG
+    path's 10-50 sequential tiny dispatches become one MXU-friendly batched
+    matmul + one dense solve. Large-K / sharded problems keep matrix-free CG
+    (S materialization grows as K^2 and the basis batch as K*P)."""
     with jax.default_matmul_precision("highest"):
         return _ba_solve_f32(p, cam, iters, cg_iters, use_huber, chi2_gate,
-                             axis_name, lambda0)
+                             axis_name, lambda0, dense_schur)
 
 
 def _ba_solve_f32(p, cam, iters, cg_iters, use_huber, chi2_gate, axis_name,
-                  lambda0) -> BAResult:
+                  lambda0, dense_schur=False) -> BAResult:
     K, N = p.obs_uv.shape[:2]
     P = p.pt_pos.shape[0]
     has_ur = p.obs_ur > 0
@@ -300,14 +308,29 @@ def _ba_solve_f32(p, cam, iters, cg_iters, use_huber, chi2_gate, axis_name,
             pdir = z + beta * pdir
             return (x, rr, z, pdir, rz_new), None
 
-        x0 = jnp.zeros_like(rhs)
-        z0 = precond(rhs)
-        (dp, *_), _ = jax.lax.scan(
-            cg_body,
-            (x0, rhs, z0, z0, _psum(jnp.sum(rhs * z0), axis_name)),
-            None,
-            length=cg_iters,
-        )
+        if dense_schur:
+            # form S explicitly: one batched application to the K*6 identity
+            # (every basis column evaluates in parallel — MXU work instead of
+            # cg_iters sequential latency-bound dispatches), then a direct
+            # dense solve. Fixed frames' rows/cols are zero from S_mv's free
+            # projection; identity on their diagonal keeps S nonsingular
+            # (their dp solves to rhs=0).
+            D = K * 6
+            basis = jnp.eye(D, dtype=rhs.dtype).reshape(D, K, 6)
+            S = jax.vmap(S_mv)(basis).reshape(D, D)
+            fixed_diag = jnp.repeat(~free, 6).astype(rhs.dtype)
+            S = S + jnp.diag(fixed_diag)
+            dp = jnp.linalg.solve(S, rhs.reshape(D)).reshape(K, 6)
+            dp = dp * free[:, None]
+        else:
+            x0 = jnp.zeros_like(rhs)
+            z0 = precond(rhs)
+            (dp, *_), _ = jax.lax.scan(
+                cg_body,
+                (x0, rhs, z0, z0, _psum(jnp.sum(rhs * z0), axis_name)),
+                None,
+                length=cg_iters,
+            )
 
         # back-substitute landmarks: dl = G (-g_l - U^T dp)
         dl = jnp.einsum("pij,pj->pi", G, -g_l - U_T(dp))

@@ -175,8 +175,12 @@ class LocalMapper:
             pt_valid=m.mp_valid,
             pt_frozen=pt_frozen,
         )
+        # dense Schur: at W=32 the reduced camera system is [192,192] —
+        # explicit formation + direct solve replaces cg_iters sequential
+        # latency-bound dispatches per LM step (43ms -> ~10ms device on the
+        # profile_kf.py workload)
         res = ba_solve(prob, self.cam, iters=iters, cg_iters=cg_iters,
-                       lambda0=lambda0)
+                       lambda0=lambda0, dense_schur=True)
 
         # scatter window poses back (padding scatters to row K -> dropped)
         scatter = jnp.where(win_valid & win_free, win_idx, K)

@@ -86,6 +86,17 @@ class TrackerConfig:
     # graph correction — or the drifted middle of the trajectory is never
     # repaired. 0 disables. Requires enable_loop_closing.
     implicit_loop_min_gap: int = 50
+    # Seam catch for the implicit loop pathway: the fused step counts how
+    # many of this frame's FOUND landmarks were last seen more than
+    # implicit_loop_min_gap frames ago (pt_last_seen array, one extra scalar
+    # in the host pack). A spike means tracking just re-acquired a revisited
+    # region — the host forces a keyframe IMMEDIATELY and runs the explicit
+    # Sim3 correction while the mm-pose vs snapped-pose discrepancy is still
+    # concentrated at the seam, instead of waiting for a covisibility edge
+    # to form keyframes later (by then the snap has dissolved into several
+    # frames' pose estimates and GBA can only partially repair the chain).
+    # 0 disables. Requires enable_loop_closing.
+    seam_min_reacq: int = 15
     vocab_words: int = 512
     mono_init_min_matches: int = 100  # src/Tracking.cc:1044 (<100 resets init)
     max_new_points_per_kf: int = 350  # reference stops at 100 (src/Tracking.cc:685-743)
@@ -185,6 +196,11 @@ class Tracker:
         P = cfg.map_capacity.max_points
         self.mp_vis_dev = jnp.zeros((P,), jnp.int32)
         self.mp_found_dev = jnp.zeros((P,), jnp.int32)
+        # last tracked-frame index each landmark was FOUND (seam detection;
+        # -1 = never). Lives with a device frame counter so no per-frame
+        # host->device scalar transfer is needed.
+        self.mp_seen_dev = jnp.full((P,), -1, jnp.int32)
+        self.fidx_dev = jnp.int32(0)
         # covisibility-window point mask (all-true = whole-map matching)
         self.local_mask_dev = jnp.ones((P,), bool)
         self.state = TrackState.NOT_INITIALIZED
@@ -360,9 +376,20 @@ class Tracker:
             u_right=u_right, depth=depth, valid=lf.valid,
         )
 
+    def _seam_stats(self, found_mask, mp_seen, fidx):
+        """Count re-acquired OLD landmarks (found now, last found more than
+        implicit_loop_min_gap tracked frames ago) and advance the last-seen
+        array — the seam-detection signal (see TrackerConfig.seam_min_reacq)."""
+        gap = max(int(self.cfg.implicit_loop_min_gap), 1)
+        old = found_mask & (mp_seen >= 0) & ((fidx - mp_seen) > gap)
+        n_reacq = jnp.sum(old.astype(jnp.int32))
+        mp_seen_new = jnp.where(found_mask, fidx, mp_seen)
+        return n_reacq, mp_seen_new, fidx + 1
+
     def _step_stereo_impl(
         self, img_l, img_r, last: FrameData, last_mp, m: MapArrays,
         pose_last, velocity, ref_kf, mp_vis, mp_found, local_mask,
+        mp_seen, fidx,
     ):
         frame = self._prepare_stereo_impl(img_l, img_r)
         (pose, feat_mp, n_inl, n_mm, t_close, u_close, used_ref,
@@ -370,13 +397,14 @@ class Tracker:
             frame, last, last_mp, m, pose_last, velocity, ref_kf, local_mask
         )
         vel_new = se3.compose(pose, se3.inverse(pose_last))
+        n_reacq, mp_seen, fidx = self._seam_stats(found_mask, mp_seen, fidx)
         host_pack = jnp.concatenate(
             [pose, vel_new,
              jnp.stack([n_inl, n_mm, t_close, u_close, used_ref]).astype(jnp.float32),
-             tcr]
+             tcr, n_reacq.astype(jnp.float32)[None]]
         )
         return (frame, pose, vel_new, feat_mp, host_pack,
-                mp_vis + vis_mask, mp_found + found_mask)
+                mp_vis + vis_mask, mp_found + found_mask, mp_seen, fidx)
 
     def _prepare_mono_impl(self, img) -> FrameData:
         feats: OrbFeatures = self.extractor._extract_impl(img)
@@ -597,6 +625,7 @@ class Tracker:
     def _step_impl(
         self, img, depth_img, last: FrameData, last_mp, m: MapArrays,
         pose_last, velocity, ref_kf, mp_vis, mp_found, local_mask,
+        mp_seen, fidx,
     ):
         """Fused per-frame program: extract + depth-associate + track.
 
@@ -611,16 +640,18 @@ class Tracker:
             frame, last, last_mp, m, pose_last, velocity, ref_kf, local_mask
         )
         vel_new = se3.compose(pose, se3.inverse(pose_last))
+        n_reacq, mp_seen, fidx = self._seam_stats(found_mask, mp_seen, fidx)
         host_pack = jnp.concatenate(
             [
                 pose,
                 vel_new,
                 jnp.stack([n_inl, n_mm, t_close, u_close, used_ref]).astype(jnp.float32),
                 tcr,
+                n_reacq.astype(jnp.float32)[None],
             ]
         )
         return (frame, pose, vel_new, feat_mp, host_pack,
-                mp_vis + vis_mask, mp_found + found_mask)
+                mp_vis + vis_mask, mp_found + found_mask, mp_seen, fidx)
 
     def _insert_kf_impl(
         self, m: MapArrays, slot, frame: FrameData, pose, feat_mp, new_slots
@@ -737,6 +768,7 @@ class Tracker:
                 self.last_frame, self.last_mp_dev, self.map,
                 self.pose_dev, self.velocity_dev, self._ref_kf_scalar(),
                 self.mp_vis_dev, self.mp_found_dev, self.local_mask_dev,
+                self.mp_seen_dev, self.fidx_dev,
             ),
             timestamp,
         )
@@ -752,6 +784,7 @@ class Tracker:
                 self.last_frame, self.last_mp_dev, self.map,
                 self.pose_dev, self.velocity_dev, self._ref_kf_scalar(),
                 self.mp_vis_dev, self.mp_found_dev, self.local_mask_dev,
+                self.mp_seen_dev, self.fidx_dev,
             ),
             timestamp,
         )
@@ -790,26 +823,31 @@ class Tracker:
         """Track an already-prepared mono frame via the shared program."""
         if not hasattr(self, "_mono_track"):
             def impl(fr, last, last_mp, m, pose_last, velocity, ref_kf,
-                     mp_vis, mp_found, local_mask):
+                     mp_vis, mp_found, local_mask, mp_seen, fidx):
                 (pose, feat_mp, n_inl, n_mm, t_close, u_close, used_ref,
                  found_mask, vis_mask, tcr) = self._track_impl(
                     fr, last, last_mp, m, pose_last, velocity, ref_kf,
                     local_mask
                 )
                 vel_new = se3.compose(pose, se3.inverse(pose_last))
+                n_reacq, mp_seen, fidx = self._seam_stats(
+                    found_mask, mp_seen, fidx
+                )
                 host_pack = jnp.concatenate(
                     [pose, vel_new,
                      jnp.stack([n_inl, n_mm, t_close, u_close, used_ref]).astype(jnp.float32),
-                     tcr]
+                     tcr, n_reacq.astype(jnp.float32)[None]]
                 )
                 return (fr, pose, vel_new, feat_mp, host_pack,
-                        mp_vis + vis_mask, mp_found + found_mask)
+                        mp_vis + vis_mask, mp_found + found_mask,
+                        mp_seen, fidx)
 
             self._mono_track = jax.jit(impl)
         return self._mono_track(
             frame, self.last_frame, self.last_mp_dev, self.map,
             self.pose_dev, self.velocity_dev, self._ref_kf_scalar(),
             self.mp_vis_dev, self.mp_found_dev, self.local_mask_dev,
+            self.mp_seen_dev, self.fidx_dev,
         )
 
     def _initialize_mono(self, frame: FrameData, timestamp: float):
@@ -945,7 +983,8 @@ class Tracker:
         with self.timer.time("track.dispatch"):
             cur = step_fn()
         (frame, pose_dev, vel_dev, feat_mp_dev, host_pack,
-         self.mp_vis_dev, self.mp_found_dev) = cur
+         self.mp_vis_dev, self.mp_found_dev,
+         self.mp_seen_dev, self.fidx_dev) = cur
         # request the scalar pack now: with pipeline_depth in-flight frames
         # the transfer has crossed the tunnel (~30ms RT) by finalize time.
         # (A worker-thread fetch here measurably CONTENDS with the dispatch
@@ -1013,6 +1052,8 @@ class Tracker:
         self.velocity = pack[7:14]
         self.frames_since_kf += 1
         need_kf = self._need_new_keyframe(n_inl, int(pack[16]), int(pack[17]))
+        if self._seam_check(int(pack[26])):
+            need_kf = True
         if need_kf:
             # keyframe creation must not clobber the newer (in-flight)
             # frame's device state — including the BA pose adoption, which
@@ -1058,7 +1099,8 @@ class Tracker:
             return self.pose
         else:
             (frame, pose_dev, vel_dev, feat_mp_dev, host_pack,
-             self.mp_vis_dev, self.mp_found_dev) = step_fn()
+             self.mp_vis_dev, self.mp_found_dev,
+             self.mp_seen_dev, self.fidx_dev) = step_fn()
             pack = np.asarray(host_pack)
             pose = pack[0:7]
             n_inl, n_mm = int(pack[14]), int(pack[15])
@@ -1077,6 +1119,8 @@ class Tracker:
             self.state = TrackState.OK
             self.frames_since_kf += 1
             need_kf = self._need_new_keyframe(n_inl, tracked_close, untracked_close)
+            if self._seam_check(int(pack[26])):
+                need_kf = True
             if need_kf:
                 slot = self._create_keyframe(frame, np.asarray(feat_mp_dev),
                                              timestamp, feat_mp_dev=feat_mp_dev)
@@ -1463,6 +1507,23 @@ class Tracker:
                 n += 1
         return max(n, 1)
 
+    def _seam_check(self, n_reacq: int) -> bool:
+        """Seam trigger: force a keyframe the moment tracking re-acquires a
+        batch of long-unseen landmarks (see TrackerConfig.seam_min_reacq).
+        Returns True when a keyframe should be forced this frame."""
+        cfg = self.cfg
+        if (cfg.seam_min_reacq <= 0 or not cfg.enable_loop_closing
+                or self.loop_closer is None
+                or n_reacq < cfg.seam_min_reacq):
+            return False
+        if self.frame_id < getattr(self, "_seam_cooldown_until", 0):
+            return False
+        if self.ref_kf - self.loop_closer.last_loop_kf < 10:
+            return False
+        self._seam_cooldown_until = self.frame_id + 30
+        self._seam_pending = True
+        return True
+
     def _need_new_keyframe(self, n_inl, tracked_close, untracked_close) -> bool:
         """NeedNewKeyFrame policy (`/root/reference/src/Tracking.cc:465-550`):
         ratio vs reference KF, stereo close-point pressure, interval gates."""
@@ -1718,12 +1779,31 @@ class Tracker:
             # graph-distant region (see _implicit_loop_candidate) — run the
             # same Sim3-verified correction the BoW path would
             if cfg.enable_loop_closing and not fired:
-                cand = self._implicit_loop_candidate(slot)
+                seam = getattr(self, "_seam_pending", False)
+                self._seam_pending = False
+                cand = self._implicit_loop_candidate(
+                    slot, min_weight=(8 if seam else 15)
+                )
                 if cand is not None:
                     import os as _os
                     if _os.environ.get("TPU_SLAM_DEBUG_LOOP"):
-                        print(f"[implicit] slot={slot} cand={cand}", flush=True)
-                    self._close_loop(frame, slot, cand, implicit=True)
+                        print(f"[implicit] slot={slot} cand={cand} "
+                              f"seam={seam}", flush=True)
+                    if seam:
+                        # seam caught at its FIRST frame: the drift is still
+                        # concentrated between this KF's re-acquired old
+                        # landmarks and the drifted recent chain, so the
+                        # EXPLICIT Sim3 + essential-graph correction (which
+                        # also fuses drifted duplicates into the original
+                        # landmarks) applies cleanly
+                        before2 = self.loop_closer.loops_closed
+                        self._close_loop(frame, slot, cand, implicit=False)
+                        if self.loop_closer.loops_closed == before2:
+                            # explicit gates rejected: fall back to the
+                            # implicit (loop edge + global BA) pathway
+                            self._close_loop(frame, slot, cand, implicit=True)
+                    else:
+                        self._close_loop(frame, slot, cand, implicit=True)
 
         # local mapping stage (reference Update order, src/LocalMapping.cc:93-130:
         # triangulate -> fuse neighbors -> cull points -> local BA -> cull KFs).
