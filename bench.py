@@ -165,7 +165,8 @@ def main():
                 tracker.map, tracker.pose_dev, tracker.velocity_dev,
                 jnp.int32(max(tracker.ref_kf, 0)),
                 tracker.mp_vis_dev, tracker.mp_found_dev,
-                tracker.local_mask_dev)
+                tracker.local_mask_dev, tracker.mp_seen_dev,
+                tracker.fidx_dev)
         t_step = _stage(tracker._step_packed, *args, rt=rt)
         t_prep = _stage(tracker._prepare_packed, buf_j, rt=rt)
         print(f"[bench] device: step {t_step*1e3:.1f} ms "

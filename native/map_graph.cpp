@@ -249,6 +249,20 @@ void mg_kill_keyframe(void* h, int32_t kf) {
   g->kf_alive[kf] = 0;
 }
 
+// scrub a recycled keyframe slot: the dead tenant's spanning-tree linkage
+// and loop edges must not leak into the new occupant (slot reuse is how the
+// static SoA index space matches the reference's unbounded KF growth +
+// culling, src/Map.cc:37-68)
+void mg_reset_kf(void* h, int32_t kf) {
+  auto* g = static_cast<MapGraphCore*>(h);
+  int32_t p = g->parent[kf];
+  if (p >= 0) g->children[p].erase(kf);
+  g->parent[kf] = -1;
+  g->children[kf].clear();
+  for (int32_t b : g->loop_edges[kf]) g->loop_edges[b].erase(kf);
+  g->loop_edges[kf].clear();
+}
+
 // redundancy count for keyframe culling: for each observed point of `kf`
 // (row mp_row/levels of length n), count observations by other alive KFs at
 // level <= lvl+1 using obs_levels lookup row-major [max_kf, n_feat].

@@ -19,8 +19,37 @@ from typing import List, Tuple
 
 import numpy as np
 
-from ..geometry import se3
-import jax.numpy as jnp
+def _np_quat_mul(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    aw, ax, ay, az = a
+    bw, bx, by, bz = b
+    return np.array([
+        aw * bw - ax * bx - ay * by - az * bz,
+        aw * bx + ax * bw + ay * bz - az * by,
+        aw * by - ax * bz + ay * bw + az * bx,
+        aw * bz + ax * by - ay * bx + az * bw,
+    ], np.float32)
+
+
+def _np_quat_rotate(q: np.ndarray, v: np.ndarray) -> np.ndarray:
+    qw, qv = q[0], q[1:4]
+    t = 2.0 * np.cross(qv, v)
+    return v + qw * t + np.cross(qv, t)
+
+
+def _np_pose_compose(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """(a o b)(x) = a(b(x)) for poses x -> q*x*q^-1 + t (se3.compose analog,
+    kept numpy: host-side data generation must not dispatch eager device ops
+    through the axon tunnel)."""
+    q = _np_quat_mul(a[0:4], b[0:4])
+    t = _np_quat_rotate(a[0:4], b[4:7]) + a[4:7]
+    return np.concatenate([q, t]).astype(np.float32)
+
+
+def _np_pose_inverse(p: np.ndarray) -> np.ndarray:
+    p = np.asarray(p, np.float32)
+    q = p[0:4] / max(np.linalg.norm(p[0:4]), 1e-12)
+    qinv = np.array([q[0], -q[1], -q[2], -q[3]], np.float32)
+    return np.concatenate([qinv, -_np_quat_rotate(qinv, p[4:7])]).astype(np.float32)
 
 
 def _hash2(ix, iy, seed):
@@ -119,10 +148,20 @@ class SyntheticScene:
             ).astype(np.float32)
 
     def render(self, pose_cw: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
-        """-> (gray f32[H,W], depth f32[H,W]); depth = z in camera frame."""
-        pose_wc = np.asarray(se3.inverse(jnp.asarray(pose_cw, jnp.float32)))
-        R_wc = np.asarray(se3.quat_to_matrix(jnp.asarray(pose_wc[0:4])))
-        c = pose_wc[4:7]
+        """-> (gray f32[H,W], depth f32[H,W]); depth = z in camera frame.
+
+        Pure numpy on purpose: renderers run on host while the tracker owns
+        the device, and tiny eager jax ops through the axon tunnel cost
+        seconds each (see .claude/skills/verify gotchas)."""
+        pose_cw = np.asarray(pose_cw, np.float32)
+        qw, qx, qy, qz = pose_cw[0:4] / max(np.linalg.norm(pose_cw[0:4]), 1e-12)
+        R_cw = np.array([
+            [1 - 2 * (qy * qy + qz * qz), 2 * (qx * qy - qw * qz), 2 * (qx * qz + qw * qy)],
+            [2 * (qx * qy + qw * qz), 1 - 2 * (qx * qx + qz * qz), 2 * (qy * qz - qw * qx)],
+            [2 * (qx * qz - qw * qy), 2 * (qy * qz + qw * qx), 1 - 2 * (qx * qx + qy * qy)],
+        ], np.float32)
+        R_wc = R_cw.T
+        c = -(R_wc @ pose_cw[4:7])
         dirs = self._rays @ R_wc.T  # [H,W,3] world-frame ray directions
 
         best_t = np.full((self.height, self.width), np.inf, np.float32)
@@ -150,9 +189,7 @@ class SyntheticScene:
         left, depth = self.render(pose_cw)
         # right camera pose: x_right = x_left - baseline (camera frame shift)
         shift = np.array([1, 0, 0, 0, -self.bf / self.fx, 0, 0], np.float32)
-        pose_r = np.asarray(
-            se3.compose(jnp.asarray(shift), jnp.asarray(pose_cw, jnp.float32))
-        )
+        pose_r = _np_pose_compose(shift, np.asarray(pose_cw, np.float32))
         right, _ = self.render(pose_r)
         return left, right, depth
 
@@ -173,9 +210,6 @@ def export_tum_sequence(out_dir: str, scene: "SyntheticScene",
     """
     import cv2
 
-    from ..geometry import se3
-    import jax.numpy as jnp
-
     os.makedirs(os.path.join(out_dir, "rgb"), exist_ok=True)
     os.makedirs(os.path.join(out_dir, "depth"), exist_ok=True)
     rng = np.random.default_rng(seed)
@@ -193,7 +227,7 @@ def export_tum_sequence(out_dir: str, scene: "SyntheticScene",
                     np.clip(depth * depth_factor, 0, 65535).astype(np.uint16))
         rgb_lines.append(f"{ts:.6f} {rgb_name}")
         depth_lines.append(f"{ts:.6f} {depth_name}")
-        wc = np.asarray(se3.inverse(jnp.asarray(pose, jnp.float32)))
+        wc = _np_pose_inverse(pose)
         qw, qx, qy, qz, tx, ty, tz = wc
         gt_lines.append(
             f"{ts:.6f} {tx:.6f} {ty:.6f} {tz:.6f} {qx:.6f} {qy:.6f} {qz:.6f} {qw:.6f}"
@@ -223,6 +257,5 @@ def orbit_trajectory(n_frames: int, radius=0.8, z_amp=0.3, yaw_amp=0.25):
             [np.cos(yaw / 2), 0.0, np.sin(yaw / 2), 0.0], np.float32
         )  # rotation about y
         pose_wc = np.concatenate([cq, np.array([cx, cy, cz], np.float32)])
-        pose_cw = np.asarray(se3.inverse(jnp.asarray(pose_wc)))
-        poses.append(pose_cw)
+        poses.append(_np_pose_inverse(pose_wc))
     return np.stack(poses)

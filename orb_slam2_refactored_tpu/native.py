@@ -64,6 +64,7 @@ def load_library():
         "mg_loop_edges": ([c_vp, c_i32, p_i32, c_i32], c_i32),
         "mg_kill_point": ([c_vp, c_i32, p_i32, p_i32, c_i32], c_i32),
         "mg_kill_keyframe": ([c_vp, c_i32], None),
+        "mg_reset_kf": ([c_vp, c_i32], None),
         "mg_redundant_obs": ([c_vp, c_i32, p_i32, p_i32, c_i32, p_i32], c_i32),
     }
     for name, (argtypes, restype) in sigs.items():
@@ -92,8 +93,12 @@ class NativeMapGraph:
         self._lib = lib
         self.cap = cap
         self._h = lib.mg_create(cap.max_keyframes, cap.max_points)
+        # num_kfs = KFs ever created (monotonic); next_kf_slot = fresh cursor
         self.num_kfs = 0
+        self.next_kf_slot = 0
         self.next_point = 0
+        self.kf_seq = np.full(cap.max_keyframes, -1, np.int64)
+        self.kf_quarantine: List = []
         self.kf_alive = np.zeros(cap.max_keyframes, bool)
         self.kf_frame_id = np.full(cap.max_keyframes, -1, np.int64)
         self.kf_timestamp = np.zeros(cap.max_keyframes, np.float64)
@@ -115,6 +120,7 @@ class NativeMapGraph:
         self.big_change_counter = 0
         self.pt_quarantine: List = []
         self.recycled_log: List[int] = []
+        self.young_pts: List = []
         self._obs_points: Set[int] = set()
         self.loop_edges = _LoopEdges(self)
         self.parent = _Parent(self)
@@ -135,10 +141,33 @@ class NativeMapGraph:
     def origin_kf(self, kf: int):
         self._lib.mg_set_origin(self._h, int(kf))
 
+    def can_alloc_kf(self) -> bool:
+        return (self.next_kf_slot < self.cap.max_keyframes
+                or any(self.num_kfs - st >= 3 for _, st in self.kf_quarantine))
+
     def alloc_kf_slot(self) -> int:
-        if self.num_kfs >= self.cap.max_keyframes:
-            raise RuntimeError(f"keyframe capacity {self.cap.max_keyframes} exhausted")
-        s = self.num_kfs
+        """Fresh first, then quarantined recycling (see
+        map_state.MapGraph.alloc_kf_slot)."""
+        if self.next_kf_slot < self.cap.max_keyframes:
+            s = self.next_kf_slot
+            self.next_kf_slot += 1
+        else:
+            s = None
+            for i, (k, stamp) in enumerate(self.kf_quarantine):
+                if self.num_kfs - stamp >= 3:
+                    del self.kf_quarantine[i]
+                    s = int(k)
+                    break
+            if s is None:
+                raise RuntimeError(
+                    f"keyframe capacity {self.cap.max_keyframes} exhausted "
+                    f"(no culled slots to recycle)"
+                )
+            self._lib.mg_reset_kf(self._h, s)
+            self.kf_frame_id[s] = -1
+            self.kf_timestamp[s] = 0.0
+            self.kf_row[s] = -1
+        self.kf_seq[s] = self.num_kfs
         self.num_kfs += 1
         self.kf_watermark[s] = self.next_point
         return s
@@ -230,7 +259,27 @@ class NativeMapGraph:
 
     # -- lifecycle -------------------------------------------------------
 
+    def note_new_point(self, pt: int, creating_kf: int):
+        sq = int(self.kf_seq[creating_kf])
+        self.pt_first_kf[pt] = sq
+        self.young_pts.append((int(pt), sq))
+
+    def young_points(self, cur_seq: int, max_age: int):
+        keep, out, seen = [], [], set()
+        horizon = max(max_age + 2, 6)
+        for pt, sq in self.young_pts:
+            if cur_seq - sq > horizon or not self.pt_alive[pt]:
+                continue
+            keep.append((pt, sq))
+            if cur_seq - sq <= max_age and pt not in seen:
+                seen.add(pt)
+                out.append(pt)
+        self.young_pts = keep
+        return out
+
     def kill_point(self, pt: int):
+        if not self.pt_alive[pt]:
+            return []
         n = self._lib.mg_kill_point(
             self._h, int(pt), _as_i32_ptr(self._scratch_kf),
             _as_i32_ptr(self._scratch_feat), len(self._scratch_kf),
@@ -245,9 +294,12 @@ class NativeMapGraph:
         return pairs
 
     def kill_keyframe(self, kf: int):
+        if kf == self.origin_kf:
+            return
         self._lib.mg_kill_keyframe(self._h, int(kf))
         self.kf_alive[kf] = False
         self.kf_row[kf] = -1
+        self.kf_quarantine.append((int(kf), self.num_kfs))
 
     def redundant_obs(self, kf: int, mp_row: np.ndarray, levels_all: np.ndarray):
         row = np.ascontiguousarray(mp_row, np.int32)

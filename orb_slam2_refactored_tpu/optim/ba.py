@@ -309,17 +309,35 @@ def _ba_solve_f32(p, cam, iters, cg_iters, use_huber, chi2_gate, axis_name,
             return (x, rr, z, pdir, rz_new), None
 
         if dense_schur:
-            # form S explicitly: one batched application to the K*6 identity
-            # (every basis column evaluates in parallel — MXU work instead of
-            # cg_iters sequential latency-bound dispatches), then a direct
-            # dense solve. Fixed frames' rows/cols are zero from S_mv's free
-            # projection; identity on their diagonal keeps S nonsingular
-            # (their dp solves to rhs=0).
+            # form S DIRECTLY from per-point camera-block sums: for point j
+            # with G_j and per-camera W-sums T_j[k] = sum_{n:pt=j} W_obs,
+            # S = blockdiag(Hpp_d) - sum_j T_j G_j T_j^T. The final
+            # contraction is ONE [D, P*3] x [P*3, D] matmul (MXU work),
+            # replacing the earlier basis trick (vmap of S_mv over the K*6
+            # identity), whose 6K scatter/gather chains dominated the window
+            # BA's 45-80 ms/KF device time. Fixed frames get zeroed
+            # rows/cols + identity diagonal (their dp solves to rhs=0).
             D = K * 6
-            basis = jnp.eye(D, dtype=rhs.dtype).reshape(D, K, 6)
-            S = jax.vmap(S_mv)(basis).reshape(D, D)
-            fixed_diag = jnp.repeat(~free, 6).astype(rhs.dtype)
-            S = S + jnp.diag(fixed_diag)
+            kidx = jnp.broadcast_to(jnp.arange(K)[:, None], (K, N)).reshape(-1)
+            w_upd = jnp.where(obs_ok0.reshape(-1, 1),
+                              W_obs.reshape(-1, 18), 0.0)
+            # flattened [P*K, 18] scatter target: measurably ~2.5x faster on
+            # TPU than the equivalent [P, K, 6, 3] 2-D scatter
+            T = _psum(
+                jnp.zeros((P * K, 18)).at[flat_pt * K + kidx].add(w_upd),
+                axis_name,
+            ).reshape(P, D, 3)
+            TG = jnp.einsum("pdi,pij->pdj", T, G)  # [P,D,3]
+            S_sub = jnp.einsum("pdi,pei->de", TG, T)
+            rows = (jnp.arange(K)[:, None, None] * 6
+                    + jnp.arange(6)[None, :, None])
+            cols = (jnp.arange(K)[:, None, None] * 6
+                    + jnp.arange(6)[None, None, :])
+            S = jnp.zeros((D, D), rhs.dtype).at[rows, cols].add(Hpp_d)
+            S = S - S_sub
+            fmask = jnp.repeat(free, 6).astype(rhs.dtype)
+            S = S * fmask[:, None] * fmask[None, :]
+            S = S + jnp.diag(1.0 - fmask)
             dp = jnp.linalg.solve(S, rhs.reshape(D)).reshape(K, 6)
             dp = dp * free[:, None]
         else:

@@ -59,6 +59,11 @@ class LocalMapper:
     # total window rows in the compacted local-BA problem: free KFs
     # (1 + `window` covisibles) + fixed frontier, padded to a static shape
     BA_WINDOW = 32
+    # compacted point capacity of the window solve (local ids; the last id
+    # is the "not selected" sentinel). A W=32 x N=1000 window observes far
+    # fewer unique landmarks in practice; overflow drops the least-recently
+    # allocated extras from THIS solve only.
+    BA_POINTS = 8192
 
     def __init__(self, cam: proj.CameraIntrinsics, n_levels: int,
                  scale_factor: float, ba_iters: int = 6, cg_iters: int = 30,
@@ -74,8 +79,8 @@ class LocalMapper:
         # no donation: callers (tests, GBA snapshots) may hold references
         # into the pre-BA map arrays
         self._ba = jax.jit(
-            lambda m, wi, wf, wv: self._ba_impl(
-                m, wi, wf, wv, ba_iters, cg_iters, lambda0
+            lambda m, wi, wf, wv, lut, pl: self._ba_impl(
+                m, wi, wf, wv, lut, pl, ba_iters, cg_iters, lambda0
             )
         )
         self._cull = jax.jit(self._cull_impl, donate_argnums=(0,))
@@ -137,7 +142,7 @@ class LocalMapper:
     # -- jitted programs -------------------------------------------------
 
     def _ba_impl(self, m: MapArrays, win_idx, win_free, win_valid,
-                 iters, cg_iters, lambda0):
+                 pt_lut, pts_local, iters, cg_iters, lambda0):
         """Window-compacted local BA with fused write-back.
 
         The reference's LocalBundleAdjustment builds a g2o graph over the
@@ -145,24 +150,43 @@ class LocalMapper:
         Round 1 ran BA over the FULL padded [K,N] capacity, which cost ~320ms
         device time at K=128; gathering the W=32 window rows cuts the
         Jacobian/scatter work ~4x while keeping the whole solve + application
-        in ONE dispatch (no host round trips).
+        in ONE dispatch (no host round trips). Round 3 also compacts the
+        POINT axis: the host covisibility mirror knows which landmarks the
+        window observes, so the solver's point arrays shrink from the 32k
+        capacity to BA_POINTS rows — the per-iteration scatter/segment-sum
+        targets (the measured hot spot of the dense-Schur LM step) shrink
+        with them.
 
         win_idx: i32[W] keyframe slots; padding rows use slot=K (OOB, dropped
         on scatter) with win_valid=False. win_free: rows optimized; fixed
-        rows are the frontier. Points observed by any valid KF OUTSIDE the
-        window are frozen (the point-side analog of fixed frontier cameras).
+        rows are the frontier. pt_lut: i32[P] mapping point slot -> local id
+        (Q-1 = "not selected"); pts_local: i32[Q] local id -> point slot
+        (padding = P). Points observed by any valid KF OUTSIDE the window
+        are frozen (the point-side analog of fixed frontier cameras); stray
+        observations whose landmark missed the host selection (mirror lag)
+        are dropped for this solve.
         Returns (new_map, outlier_mask[K,N], cost0, cost1).
         """
         K, N = m.kf_mp.shape
         P = m.point_capacity
+        Q = pts_local.shape[0]
         gather = jnp.clip(win_idx, 0, K - 1)
-        obs_pt = jnp.where(win_valid[:, None], m.kf_mp[gather], INVALID)
+        obs_pt_g = jnp.where(win_valid[:, None], m.kf_mp[gather], INVALID)
 
         in_win = jnp.zeros((K,), bool).at[gather].max(win_valid)
         outside_obs = (m.kf_mp >= 0) & (~in_win & m.kf_valid)[:, None]
         pt_frozen = jnp.zeros((P,), bool).at[
             jnp.clip(m.kf_mp, 0, P - 1).reshape(-1)
         ].max(outside_obs.reshape(-1))
+
+        # local (compacted) point domain
+        local = pt_lut[jnp.clip(obs_pt_g, 0, P - 1)]
+        obs_pt = jnp.where((obs_pt_g >= 0) & (local < Q - 1), local, INVALID)
+        pl = jnp.clip(pts_local, 0, P - 1)
+        pl_ok = pts_local < P
+        pt_pos_l = m.mp_pos[pl]
+        pt_valid_l = m.mp_valid[pl] & pl_ok
+        pt_frozen_l = pt_frozen[pl] | ~pl_ok
 
         prob = BAProblem(
             kf_pose=m.kf_pose[gather],
@@ -171,14 +195,13 @@ class LocalMapper:
             obs_ur=m.kf_uright[gather],
             obs_pt=obs_pt,
             obs_inv_s2=self.inv_sigma2[m.kf_level[gather]],
-            pt_pos=m.mp_pos,
-            pt_valid=m.mp_valid,
-            pt_frozen=pt_frozen,
+            pt_pos=pt_pos_l,
+            pt_valid=pt_valid_l,
+            pt_frozen=pt_frozen_l,
         )
         # dense Schur: at W=32 the reduced camera system is [192,192] —
-        # explicit formation + direct solve replaces cg_iters sequential
-        # latency-bound dispatches per LM step (43ms -> ~10ms device on the
-        # profile_kf.py workload)
+        # direct formation from per-point camera-block sums + a dense solve
+        # replaces cg_iters sequential latency-bound dispatches per LM step
         res = ba_solve(prob, self.cam, iters=iters, cg_iters=cg_iters,
                        lambda0=lambda0, dense_schur=True)
 
@@ -187,9 +210,13 @@ class LocalMapper:
         new_kf_pose = m.kf_pose.at[scatter].set(res.kf_pose, mode="drop")
         out_w = (obs_pt >= 0) & ~res.obs_inlier & win_free[:, None]
         outlier = jnp.zeros((K, N), bool).at[scatter].max(out_w, mode="drop")
+        # scatter refined landmark positions back (frozen rows carry their
+        # original values; padding rows target P -> dropped)
+        upd = jnp.where(pt_valid_l[:, None], res.pt_pos, pt_pos_l)
+        new_mp_pos = m.mp_pos.at[pts_local].set(upd, mode="drop")
         m = m._replace(
             kf_pose=new_kf_pose,
-            mp_pos=res.pt_pos,
+            mp_pos=new_mp_pos,
             kf_mp=jnp.where(outlier, INVALID, m.kf_mp),
         )
         return m, outlier, res.initial_cost, res.final_cost
@@ -697,10 +724,27 @@ class LocalMapper:
         win_idx[n_f:n_f + len(frontier)] = frontier
         win_valid[n_f:n_f + len(frontier)] = True
 
+        # window-point compaction: the host kf_row mirror knows the window's
+        # landmarks, so the device solve runs on BA_POINTS compacted rows
+        # instead of the full point capacity (see _ba_impl). Any device-side
+        # association the mirror lags on maps to the sentinel and is dropped
+        # from this solve only.
+        Q = self.BA_POINTS
+        P = m.point_capacity
+        win_all = [int(k) for k in win_idx[: n_f + len(frontier)]]
+        rows = graph.kf_row[win_all]
+        pts = np.unique(rows[rows >= 0]).astype(np.int64)
+        if len(pts) > Q - 1:
+            pts = pts[: Q - 1]
+        lut = np.full(P, Q - 1, np.int32)
+        lut[pts] = np.arange(len(pts), dtype=np.int32)
+        pts_local = np.full(Q, P, np.int32)
+        pts_local[: len(pts)] = pts
+
         old_rows = graph.kf_row.copy()  # pre-BA rows (what outliers refer to)
         m, outlier_dev, c0, c1 = self._ba(
             m, jnp.asarray(win_idx), jnp.asarray(win_free),
-            jnp.asarray(win_valid),
+            jnp.asarray(win_valid), jnp.asarray(lut), jnp.asarray(pts_local),
         )
         outlier_fut = self._fetch(outlier_dev)
         for x in (c0, c1):
@@ -735,13 +779,10 @@ class LocalMapper:
         found = found_fut.result()
         ratio = found / np.maximum(vis, 1)
         kill = []
-        w_kf = max(ref_kf - 4, 0)
-        lo = int(graph.kf_watermark[w_kf]) if w_kf < len(graph.kf_watermark) else 0
-        for pt in range(lo, graph.next_point):
-            if not graph.pt_alive[pt]:
-                continue
+        cur_seq = int(graph.kf_seq[ref_kf])
+        for pt in graph.young_points(cur_seq, max_age=4):
             first = graph.pt_first_kf[pt]
-            if first < 0 or ref_kf - first > 4:
+            if first < 0 or cur_seq - first > 4:
                 continue
             if vis[pt] >= 4 and ratio[pt] < 0.25:
                 kill.append(pt)
@@ -856,7 +897,7 @@ class LocalMapper:
             for f, ss in zip(feats, new_slots):
                 ss = int(ss)
                 graph.pt_alive[ss] = True
-                graph.pt_first_kf[ss] = new_kf
+                graph.note_new_point(ss, new_kf)
                 graph.add_observation(ss, new_kf, int(f), False)
                 graph.add_observation(ss, int(nb), int(idx_b_b[bi][f]), False)
             n_created += len(feats)
@@ -885,20 +926,18 @@ class LocalMapper:
             vis, found = packed[0], packed[1]
             ratio = found / np.maximum(vis, 1)
         kill: List[int] = []
-        # only points allocated within the trial window can die here:
-        # bound the scan by the allocation watermark instead of walking
-        # every observed point in the map (slots are monotonic)
-        w_kf = max(new_kf - (age + 2), 0)
-        lo = int(graph.kf_watermark[w_kf]) if w_kf < len(graph.kf_watermark) else 0
-        for pt in range(lo, graph.next_point):
-            if not graph.pt_alive[pt]:
-                continue
+        # only points created within the trial window can die here: the
+        # graph maintains the young-point list (slot allocation is not
+        # contiguous once recycling starts, so a next_point range scan
+        # would miss recycled slots)
+        cur_seq = int(graph.kf_seq[new_kf])
+        for pt in graph.young_points(cur_seq, max_age=age + 2):
             first = graph.pt_first_kf[pt]
             if first < 0:
                 continue
             # only "recent" points are on trial (age just past the grace
             # period); established points are never re-culled here
-            pt_age = new_kf - first
+            pt_age = cur_seq - first
             if age < pt_age <= age + 2 and graph.n_obs(pt) < min_obs:
                 kill.append(pt)
             elif (ratio is not None and pt_age <= age + 2

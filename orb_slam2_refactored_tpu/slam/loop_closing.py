@@ -64,6 +64,9 @@ class LoopCloser:
         # consistency groups: list of (set_of_kfs, count)
         self.consistent_groups: List = []
         self.last_loop_kf = -1
+        # cooldowns compare creation SEQUENCE numbers (graph.kf_seq), not
+        # slot indices: slots are recycled on long sequences
+        self.last_loop_seq = -1
         self.loops_closed = 0
         self._match_kfs = jax.jit(self._match_kfs_impl)
         self._sim3_refine = jax.jit(self._sim3_refine_impl)
@@ -111,7 +114,8 @@ class LoopCloser:
         min-score from covisible neighbors, candidate consistency across
         MIN_CONSISTENCY consecutive detections (:164-241).
         """
-        if kf - self.last_loop_kf < 10 or len(graph.alive_kfs()) < 10:
+        if (graph.kf_seq[kf] - self.last_loop_seq < 10
+                or len(graph.alive_kfs()) < 10):
             return None  # still indexed; just no detection this early
         s, cw = self.db._score_common(bow_vec)
         return self._detect_policy(graph, kf, s, cw)
@@ -119,7 +123,8 @@ class LoopCloser:
     def _detect_policy(self, graph: MapGraph, kf: int, scores, common) -> Optional[int]:
         import os as _os
         _dbg = _os.environ.get("TPU_SLAM_DEBUG_LOOP")
-        if kf - self.last_loop_kf < 10 or len(graph.alive_kfs()) < 10:
+        if (graph.kf_seq[kf] - self.last_loop_seq < 10
+                or len(graph.alive_kfs()) < 10):
             return None
         neighbors = graph.covis_neighbors(kf, top_k=30)
         min_score = 1.0
@@ -429,6 +434,7 @@ class LoopCloser:
         graph.loop_edges.setdefault(kf, set()).add(loop_kf)
         graph.loop_edges.setdefault(loop_kf, set()).add(kf)
         self.last_loop_kf = kf
+        self.last_loop_seq = int(graph.kf_seq[kf])
         self.loops_closed += 1
 
         # ---- global BA: async dispatch (merged at the next keyframe) or
@@ -502,10 +508,14 @@ class LoopCloser:
              for k in range(K)], np.int32,
         )
         pt_ref = np.zeros(m.point_capacity, np.int32)
+        kf_seq = graph.kf_seq
         for pt in graph.points_with_obs():
             pairs = graph.obs_pairs(pt)
             if pairs:
-                pt_ref[pt] = min(kf for kf, _ in pairs)
+                # earliest observer BY CREATION SEQUENCE (slot index is not
+                # a temporal order once slots recycle)
+                pt_ref[pt] = min((kf for kf, _ in pairs),
+                                 key=lambda k: kf_seq[k])
         m = self._merge_gba(
             m, pending["gba_pose"], pending["gba_pts"], pending["old_pose"],
             jnp.asarray(pending["kf_launched"]), jnp.asarray(parent),

@@ -110,8 +110,20 @@ class MapGraph:
 
     def __init__(self, cap: MapCapacity):
         self.cap = cap
+        # `num_kfs` counts keyframes EVER CREATED (monotonic creation
+        # sequence); `next_kf_slot` is the fresh-slot cursor. They differ
+        # once culled slots start being recycled (KITTI-length sequences).
         self.num_kfs = 0
+        self.next_kf_slot = 0
         self.next_point = 0
+        # per-slot creation sequence number: the temporal ordering that slot
+        # indices provided before recycling ("how many KFs ago" comparisons
+        # must use kf_seq, never slot arithmetic)
+        self.kf_seq: np.ndarray = np.full(cap.max_keyframes, -1, np.int64)
+        # dead KF slots age in quarantine (like points) before reuse: any
+        # in-flight reference — pipelined ref_kf scalars, pending BA erasures
+        # keyed by slot — must have cycled out first
+        self.kf_quarantine: List = []
         # free slots from culled KFs / points are recycled
         self.free_kf_slots: List[int] = []
         self.free_pt_slots: List[int] = []
@@ -141,7 +153,13 @@ class MapGraph:
         # src/MapPoint.cc:322-339 & src/LocalMapping.cc:335-369)
         self.pt_visible: np.ndarray = np.zeros(cap.max_points, np.int32)
         self.pt_found: np.ndarray = np.zeros(cap.max_points, np.int32)
+        # creation SEQUENCE (kf_seq of the creating keyframe), not a slot:
+        # ages stay well-defined after slot recycling
         self.pt_first_kf: np.ndarray = np.full(cap.max_points, -1, np.int64)
+        # (pt, creation_seq) of recently created points — the culling scans
+        # iterate this instead of a next_point range (allocation is not
+        # contiguous once slots recycle)
+        self.young_pts: List = []
         self.pt_alive: np.ndarray = np.zeros(cap.max_points, bool)
         self.kf_watermark: np.ndarray = np.zeros(cap.max_keyframes, np.int64)
         # dead point slots enter quarantine and become reusable a few
@@ -154,17 +172,51 @@ class MapGraph:
 
     # -- slot allocation --------------------------------------------------
 
+    def _pop_recyclable_kf(self):
+        """Oldest quarantined dead KF slot aged >= 3 creations, or None."""
+        for i, (k, stamp) in enumerate(self.kf_quarantine):
+            if self.num_kfs - stamp >= 3:
+                del self.kf_quarantine[i]
+                return int(k)
+        return None
+
+    def can_alloc_kf(self) -> bool:
+        return (self.next_kf_slot < self.cap.max_keyframes
+                or any(self.num_kfs - st >= 3 for _, st in self.kf_quarantine))
+
+    def _reset_kf_slot(self, slot: int):
+        """Scrub host state of a recycled slot (the device row is fully
+        overwritten by the insert scatter). Covis/observations were already
+        detached by kill_keyframe; the spanning-tree linkage and identity
+        fields must not leak into the new tenant."""
+        self.parent[slot] = -1
+        self.children.pop(slot, None)
+        for other in self.loop_edges.pop(slot, set()):
+            self.loop_edges.get(other, set()).discard(slot)
+        self.kf_frame_id[slot] = -1
+        self.kf_timestamp[slot] = 0.0
+        self.kf_row[slot] = -1
+
     def alloc_kf_slot(self) -> int:
-        """Slots are NEVER recycled within a session: stale indices held in
-        device arrays (kf_mp rows, last-frame assignments) must keep pointing
-        at dead entries — masked out via alive flags — rather than silently
-        aliasing a new allocation. (The reference's shared_ptr graph gets
-        this for free; an SoA index space must choose monotonic allocation.)"""
-        if self.num_kfs >= self.cap.max_keyframes:
-            raise RuntimeError(
-                f"keyframe capacity {self.cap.max_keyframes} exhausted"
-            )
-        slot = self.num_kfs
+        """Fresh slots first; at capacity, recycle quarantined dead slots
+        aged >= 3 keyframe creations (in-flight slot references — pipelined
+        ref_kf scalars, one-KF-deferred BA erasures — have cycled out by
+        then). The reference's shared_ptr graph tolerates unbounded growth +
+        culling (`/root/reference/src/Map.cc:37-68`); a static SoA index
+        space gets the same unbounded-sequence behavior from quarantined
+        reuse. Temporal comparisons must use kf_seq, not slot order."""
+        if self.next_kf_slot < self.cap.max_keyframes:
+            slot = self.next_kf_slot
+            self.next_kf_slot += 1
+        else:
+            slot = self._pop_recyclable_kf()
+            if slot is None:
+                raise RuntimeError(
+                    f"keyframe capacity {self.cap.max_keyframes} exhausted "
+                    f"(no culled slots to recycle)"
+                )
+            self._reset_kf_slot(slot)
+        self.kf_seq[slot] = self.num_kfs
         self.num_kfs += 1
         # point-allocation watermark: slots >= kf_watermark[s] were created
         # at/after keyframe s (bounds MapPointCulling's candidate scan)
@@ -277,9 +329,36 @@ class MapGraph:
 
     # -- lifecycle --------------------------------------------------------
 
+    def note_new_point(self, pt: int, creating_kf: int):
+        """Record a newly created landmark's creation sequence (MapPoint
+        birth bookkeeping, src/MapPoint.cc:35-60): powers the young-point
+        trial-window culling scans."""
+        sq = int(self.kf_seq[creating_kf])
+        self.pt_first_kf[pt] = sq
+        self.young_pts.append((int(pt), sq))
+
+    def young_points(self, cur_seq: int, max_age: int):
+        """Points created within `max_age` keyframe creations of `cur_seq`
+        (deduped, alive only); prunes entries too old for any caller."""
+        keep, out, seen = [], [], set()
+        horizon = max(max_age + 2, 6)
+        for pt, sq in self.young_pts:
+            if cur_seq - sq > horizon or not self.pt_alive[pt]:
+                continue
+            keep.append((pt, sq))
+            if cur_seq - sq <= max_age and pt not in seen:
+                seen.add(pt)
+                out.append(pt)
+        self.young_pts = keep
+        return out
+
     def kill_point(self, pt: int):
         """Returns the (kf, feat) observation pairs so callers can clear the
-        device-side kf_mp references (no slot recycling — see alloc_kf_slot)."""
+        device-side kf_mp references. Idempotent: a second kill of the same
+        slot must not enqueue a duplicate quarantine entry (that would let
+        one slot be recycled to two different landmarks)."""
+        if not self.pt_alive[pt]:
+            return []
         self.pt_alive[pt] = False
         pairs = list(self.obs.pop(pt, {}).items())
         for kf, feat in pairs:
@@ -354,6 +433,7 @@ class MapGraph:
         if parent >= 0:
             self.children.get(parent, set()).discard(kf)
         self.kf_alive[kf] = False
+        self.kf_quarantine.append((kf, self.num_kfs))
 
     def alive_kfs(self) -> np.ndarray:
         return np.nonzero(self.kf_alive)[0]

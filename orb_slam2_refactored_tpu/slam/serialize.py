@@ -93,6 +93,11 @@ def save_map(tracker: Tracker, path: str):
         graph_pt_first_val=pt_first,
         graph_origin=np.int64(g.origin_kf),
         graph_num_kfs=np.int64(g.num_kfs),
+        graph_next_kf_slot=np.int64(g.next_kf_slot),
+        graph_kf_seq=np.asarray(g.kf_seq, np.int64),
+        graph_kf_quarantine=np.asarray(
+            [(k, st) for k, st in g.kf_quarantine], np.int64
+        ).reshape(-1, 2),
         graph_next_point=np.int64(g.next_point),
         graph_watermark=np.asarray(g.kf_watermark, np.int64),
         tracker_pose=tracker.pose,
@@ -114,6 +119,13 @@ def load_map(tracker: Tracker, path: str):
     tracker.map = m
     g = tracker.graph
     g.num_kfs = int(z["graph_num_kfs"])
+    g.next_kf_slot = int(z["graph_next_kf_slot"]) if "graph_next_kf_slot" in z.files else g.num_kfs
+    if "graph_kf_seq" in z.files:
+        g.kf_seq[:] = z["graph_kf_seq"]
+    else:  # legacy checkpoint: slots were allocated monotonically
+        g.kf_seq[: g.num_kfs] = np.arange(g.num_kfs)
+    if "graph_kf_quarantine" in z.files:
+        g.kf_quarantine = [(int(a), int(b)) for a, b in z["graph_kf_quarantine"]]
     g.next_point = int(z["graph_next_point"])
     g.origin_kf = int(z["graph_origin"])
     if "graph_watermark" in z.files:

@@ -214,10 +214,13 @@ class SlamSystem:
         old = self.tracker
         new = Tracker(cfg)
         # reuse compiled programs (identical shapes) to avoid recompiling
-        for attr in ("_prepare", "_prepare_stereo", "_prepare_mono", "_track",
-                     "_step", "_step_stereo", "_insert_kf", "_reloc_match",
-                     "_mono_match"):
-            setattr(new, attr, getattr(old, attr))
+        for attr in ("_prepare", "_prepare_packed", "_prepare_stereo",
+                     "_prepare_mono", "_track", "_step", "_step_packed",
+                     "_step_stereo", "_insert_kf", "_insert_kf_auto",
+                     "_reloc_match", "_mono_match", "_mono_init",
+                     "_zero_counters"):
+            if hasattr(old, attr):
+                setattr(new, attr, getattr(old, attr))
         if voc is not None:
             new.set_vocabulary(voc)
         self.tracker = new

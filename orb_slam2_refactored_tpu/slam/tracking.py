@@ -934,7 +934,7 @@ class Tracker:
         for f, s in zip(np.nonzero(good)[0], new_slots):
             s = int(s)
             self.graph.pt_alive[s] = True
-            self.graph.pt_first_kf[s] = slot0
+            self.graph.note_new_point(s, slot0)
             self.graph.add_observation(s, slot0, int(f), False)
             self.graph.add_observation(s, slot1, int(idx_np[f]), False)
         self.graph.update_connections(slot1, self.graph.kf_row[slot1])
@@ -1267,6 +1267,13 @@ class Tracker:
         self.mp_vis_dev = jnp.zeros((P,), jnp.int32)
         self.mp_found_dev = jnp.zeros((P,), jnp.int32)
         self.local_mask_dev = jnp.ones((P,), bool)
+        # seam-detection state must not survive into the new map: stale
+        # last-seen stamps on reused point slots would read as long-gap
+        # re-acquisitions and fire false seam keyframes / loop checks
+        self.mp_seen_dev = jnp.full((P,), -1, jnp.int32)
+        self.fidx_dev = jnp.int32(0)
+        self._seam_pending = False
+        self._seam_cooldown_until = 0
         if self.loop_closer is not None:
             self.loop_closer.db.clear()
             self.loop_closer.consistent_groups = []
@@ -1373,7 +1380,8 @@ class Tracker:
             return
         self._close_loop(frame, slot, loop_kf)
 
-    def _implicit_loop_candidate(self, slot: int) -> Optional[int]:
+    def _implicit_loop_candidate(self, slot: int,
+                                 min_weight: int = 15) -> Optional[int]:
         """Detect a silent re-acquisition: a strong covisibility edge from
         the new keyframe to a temporally distant keyframe that the PREVIOUS
         keyframe's context was not connected to. Whole-map projection
@@ -1384,13 +1392,14 @@ class Tracker:
         g = self.graph
         gap = self.cfg.implicit_loop_min_gap
         lc = self.loop_closer
-        if gap <= 0 or lc is None or slot - lc.last_loop_kf < 10:
+        if (gap <= 0 or lc is None
+                or g.kf_seq[slot] - lc.last_loop_seq < 10):
             return None
         if len(g.alive_kfs()) < 10:
             return None
         fid = g.kf_frame_id
         cur = fid[slot]
-        nbs = g.covis_neighbors(slot, min_weight=15, top_k=30)
+        nbs = g.covis_neighbors(slot, min_weight=min_weight, top_k=30)
         old = [n for n in nbs if cur - fid[n] > gap]
         import os as _os
         if _os.environ.get("TPU_SLAM_DEBUG_LOOP"):
@@ -1451,6 +1460,7 @@ class Tracker:
             pending = self.loop_closer.launch_gba(self.map, self.graph)
             self._gba_pending = pending
             self.loop_closer.last_loop_kf = slot
+            self.loop_closer.last_loop_seq = int(self.graph.kf_seq[slot])
             self.loop_closer.loops_closed += 1
             self.last_loop_info = {
                 "loop_kf": loop_kf, "kf": slot, "implicit": True,
@@ -1518,7 +1528,8 @@ class Tracker:
             return False
         if self.frame_id < getattr(self, "_seam_cooldown_until", 0):
             return False
-        if self.ref_kf - self.loop_closer.last_loop_kf < 10:
+        if (self.ref_kf >= 0 and self.graph.kf_seq[self.ref_kf]
+                - self.loop_closer.last_loop_seq < 10):
             return False
         self._seam_cooldown_until = self.frame_id + 30
         self._seam_pending = True
@@ -1562,10 +1573,11 @@ class Tracker:
         if self.local_mapper is not None:
             with self.timer.time("kf.drain"):
                 self._finalize_map()
-        if self.graph.num_kfs >= cfg.map_capacity.max_keyframes:
-            # keyframe capacity exhausted: keep tracking against the frozen
-            # map instead of crashing mid-run (graceful degradation; culling
-            # normally keeps this from triggering)
+        if not self.graph.can_alloc_kf():
+            # no fresh slot and nothing recyclable in quarantine: keep
+            # tracking against the frozen map instead of crashing mid-run
+            # (graceful degradation; culling + slot recycling normally keep
+            # this from ever triggering)
             if not getattr(self, "_warned_kf_cap", False):
                 self._warned_kf_cap = True
                 import sys
@@ -1661,7 +1673,7 @@ class Tracker:
             pt = int(all_mp[f])
             if create_mask[f]:
                 self.graph.pt_alive[pt] = True
-                self.graph.pt_first_kf[pt] = slot
+                self.graph.note_new_point(pt, slot)
             self.graph.add_observation(pt, slot, int(f), False)
         self.graph.update_connections(slot, all_mp)
         self.ref_kf = slot
@@ -1697,7 +1709,7 @@ class Tracker:
             pt = int(all_mp[f])
             if created[f]:
                 self.graph.pt_alive[pt] = True
-                self.graph.pt_first_kf[pt] = slot
+                self.graph.note_new_point(pt, slot)
             self.graph.add_observation(pt, slot, int(f), False)
         self.graph.update_connections(slot, all_mp)
         if self.ref_kf == slot:
@@ -1739,15 +1751,21 @@ class Tracker:
         if rec:
             self.graph.recycled_log = []
             if not hasattr(self, "_zero_counters"):
+                # recycled slots also reset the last-seen stamp: a new
+                # landmark must not inherit the old occupant's stamp and
+                # masquerade as a re-acquired old landmark (seam trigger)
                 self._zero_counters = jax.jit(
-                    lambda v, f, s: (v.at[s].set(0, mode="drop"),
-                                     f.at[s].set(0, mode="drop"))
+                    lambda v, f, sn, s: (v.at[s].set(0, mode="drop"),
+                                         f.at[s].set(0, mode="drop"),
+                                         sn.at[s].set(-1, mode="drop"))
                 )
             pad = np.full(max(((len(rec) + 511) // 512) * 512, 512),
                           self.cfg.map_capacity.max_points, np.int32)
             pad[: len(rec)] = rec
-            self.mp_vis_dev, self.mp_found_dev = self._zero_counters(
-                self.mp_vis_dev, self.mp_found_dev, jnp.asarray(pad)
+            (self.mp_vis_dev, self.mp_found_dev,
+             self.mp_seen_dev) = self._zero_counters(
+                self.mp_vis_dev, self.mp_found_dev, self.mp_seen_dev,
+                jnp.asarray(pad)
             )
 
         # BoW index + loop closing stage. Index maintenance runs even with
@@ -1778,9 +1796,12 @@ class Tracker:
             # implicit loop closure: whole-map matching re-acquired a
             # graph-distant region (see _implicit_loop_candidate) — run the
             # same Sim3-verified correction the BoW path would
+            # consume the seam flag unconditionally: if a BoW loop fired at
+            # the seam keyframe the work is done — the flag must not leak
+            # into a later, unrelated keyframe and relax its covis gate
+            seam = getattr(self, "_seam_pending", False)
+            self._seam_pending = False
             if cfg.enable_loop_closing and not fired:
-                seam = getattr(self, "_seam_pending", False)
-                self._seam_pending = False
                 cand = self._implicit_loop_candidate(
                     slot, min_weight=(8 if seam else 15)
                 )

@@ -86,7 +86,8 @@ def main():
                 tracker.pose_dev, tracker.velocity_dev,
                 jnp.int32(max(tracker.ref_kf, 0)),
                 tracker.mp_vis_dev, tracker.mp_found_dev,
-                tracker.local_mask_dev, rt=rt)
+                tracker.local_mask_dev, tracker.mp_seen_dev,
+                tracker.fidx_dev, rt=rt)
 
     bench_stage("tri_batch (6 nbrs)", lm._tri_batch, m, jnp.int32(new_kf),
                 nbs_j, rt=rt)
@@ -137,9 +138,18 @@ def main():
     win_valid[:n_f] = True
     win_idx[n_f:n_f + len(frontier)] = frontier
     win_valid[n_f:n_f + len(frontier)] = True
-    bench_stage(f"local_ba W={W} (free={n_f})", lm._ba, m,
+    Q = lm.BA_POINTS
+    P = m.point_capacity
+    rows = graph.kf_row[[int(k) for k in win_idx[: n_f + len(frontier)]]]
+    pts = np.unique(rows[rows >= 0]).astype(np.int64)[: Q - 1]
+    lut = np.full(P, Q - 1, np.int32)
+    lut[pts] = np.arange(len(pts), dtype=np.int32)
+    pts_local = np.full(Q, P, np.int32)
+    pts_local[: len(pts)] = pts
+    bench_stage(f"local_ba W={W} (free={n_f}, pts={len(pts)})", lm._ba, m,
                 jnp.asarray(win_idx), jnp.asarray(win_free),
-                jnp.asarray(win_valid), rt=rt)
+                jnp.asarray(win_valid), jnp.asarray(lut),
+                jnp.asarray(pts_local), rt=rt)
 
     bench_stage("cull program (512 pad)", jax.jit(lm._cull_impl), m,
                 padp, pad, jnp.zeros(512, jnp.int32), rt=rt)

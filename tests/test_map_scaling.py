@@ -100,8 +100,9 @@ class TestLongRun:
         for i in range(n):
             img, depth = scene.render(gt[i])
             tracker.track_rgbd(img, depth, timestamp=i / 30.0)
-        # survived; growth froze at capacity rather than raising
-        assert tracker.graph.num_kfs <= 24
+        # survived: the alive set stays within capacity (culled slots
+        # recycle, so total CREATIONS may exceed it — that's the point)
+        assert len(tracker.graph.alive_kfs()) <= 24
         assert tracker.graph.next_point <= 2048
         assert tracker.state == TrackState.OK
         assert len(tracker.trajectory) == n
