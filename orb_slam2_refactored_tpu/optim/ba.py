@@ -129,6 +129,25 @@ def _residuals_jacobians(kf_pose, pt_pos, p: BAProblem, cam):
     return r, Jp, Jl
 
 
+def problem_from_map(m, free_mask, inv_sigma2, pt_frozen=None) -> BAProblem:
+    """Build the global-BA problem straight from live `MapArrays` (the
+    GlobalBundleAdjustment graph construction, `/root/reference/src/
+    Optimizer.cc:204-343`, as array views): dead keyframe slots arrive with
+    free_mask=False, dead landmark slots with mp_valid=False — no
+    compaction needed, padding rows contribute nothing."""
+    return BAProblem(
+        kf_pose=m.kf_pose,
+        kf_fixed=~free_mask,
+        obs_uv=m.kf_xy,
+        obs_ur=m.kf_uright,
+        obs_pt=m.kf_mp,
+        obs_inv_s2=inv_sigma2[m.kf_level],
+        pt_pos=m.mp_pos,
+        pt_valid=m.mp_valid,
+        pt_frozen=pt_frozen,
+    )
+
+
 def _cost_only(kf_pose, pt_pos, p: BAProblem, cam, w_valid, huber_delta,
                use_huber, axis_name=None):
     has_ur = p.obs_ur > 0
@@ -233,18 +252,19 @@ def _ba_solve_f32(p, cam, iters, cg_iters, use_huber, chi2_gate, axis_name,
         Hll_obs = jnp.einsum("knci,kncj->knij", JlW, Jl)      # [K,N,3,3]
         g_l_obs = jnp.einsum("knci,knc->kni", JlW, r)         # [K,N,3]
         flat_pt = pt_idx.reshape(-1)
-        Hll = _psum(
-            jnp.zeros((P, 3, 3))
+        # ONE fused [P,12] scatter for Hll (9) + g_l (3): TPU scatter cost is
+        # per-pass, so packing the point-space accumulators halves it
+        packed = jnp.concatenate(
+            [Hll_obs.reshape(-1, 9), g_l_obs.reshape(-1, 3)], axis=-1
+        )
+        acc = _psum(
+            jnp.zeros((P, 12))
             .at[flat_pt]
-            .add(jnp.where(obs_ok0.reshape(-1, 1, 1) > 0, Hll_obs.reshape(-1, 3, 3), 0.0)),
+            .add(jnp.where(obs_ok0.reshape(-1, 1), packed, 0.0)),
             axis_name,
         )
-        g_l = _psum(
-            jnp.zeros((P, 3))
-            .at[flat_pt]
-            .add(jnp.where(obs_ok0.reshape(-1, 1), g_l_obs.reshape(-1, 3), 0.0)),
-            axis_name,
-        )
+        Hll = acc[:, :9].reshape(P, 3, 3)
+        g_l = acc[:, 9:]
         # damping: H + lam*diag(H) + eps on both blocks
         eye6 = jnp.eye(6)
         eye3 = jnp.eye(3)
@@ -285,9 +305,6 @@ def _ba_solve_f32(p, cam, iters, cg_iters, use_huber, chi2_gate, axis_name,
             w2 = jnp.einsum("pij,pj->pi", G, w1)
             out = out - U(w2)
             return out * free[:, None]
-
-        # rhs = -(g_p - U G g_l), projected to free frames
-        rhs = -(g_p - U(jnp.einsum("pij,pj->pi", G, g_l))) * free[:, None]
 
         # block-Jacobi preconditioner from damped Hpp
         Minv = jnp.linalg.inv(Hpp_d + 1e-9 * eye6[None])
@@ -333,14 +350,22 @@ def _ba_solve_f32(p, cam, iters, cg_iters, use_huber, chi2_gate, axis_name,
                     + jnp.arange(6)[None, :, None])
             cols = (jnp.arange(K)[:, None, None] * 6
                     + jnp.arange(6)[None, None, :])
-            S = jnp.zeros((D, D), rhs.dtype).at[rows, cols].add(Hpp_d)
+            S = jnp.zeros((D, D), g_p.dtype).at[rows, cols].add(Hpp_d)
             S = S - S_sub
-            fmask = jnp.repeat(free, 6).astype(rhs.dtype)
+            fmask = jnp.repeat(free, 6).astype(g_p.dtype)
             S = S * fmask[:, None] * fmask[None, :]
             S = S + jnp.diag(1.0 - fmask)
-            dp = jnp.linalg.solve(S, rhs.reshape(D)).reshape(K, 6)
+            # rhs and landmark back-substitution reuse T (U v == T^T-style
+            # contractions), so the dense path pays no U/U_T scatter passes
+            rhs = -(g_p.reshape(D)
+                    - jnp.einsum("pdi,pi->d", T,
+                                 jnp.einsum("pij,pj->pi", G, g_l))) * fmask
+            dp = jnp.linalg.solve(S, rhs).reshape(K, 6)
             dp = dp * free[:, None]
+            ut_dp = jnp.einsum("pdi,d->pi", T, dp.reshape(D))
         else:
+            # rhs = -(g_p - U G g_l), projected to free frames
+            rhs = -(g_p - U(jnp.einsum("pij,pj->pi", G, g_l))) * free[:, None]
             x0 = jnp.zeros_like(rhs)
             z0 = precond(rhs)
             (dp, *_), _ = jax.lax.scan(
@@ -349,9 +374,10 @@ def _ba_solve_f32(p, cam, iters, cg_iters, use_huber, chi2_gate, axis_name,
                 None,
                 length=cg_iters,
             )
+            ut_dp = U_T(dp)
 
         # back-substitute landmarks: dl = G (-g_l - U^T dp)
-        dl = jnp.einsum("pij,pj->pi", G, -g_l - U_T(dp))
+        dl = jnp.einsum("pij,pj->pi", G, -g_l - ut_dp)
         dl = jnp.where(p.pt_valid[:, None], dl, 0.0)
 
         new_pose = se3.retract(kf_pose, dp)

@@ -55,6 +55,7 @@ def pad_problem(p: BAProblem, n_shards: int) -> BAProblem:
         ),
         pt_pos=p.pt_pos,
         pt_valid=p.pt_valid,
+        pt_frozen=p.pt_frozen,
     )
 
 

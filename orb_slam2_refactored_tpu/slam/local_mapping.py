@@ -59,11 +59,14 @@ class LocalMapper:
     # total window rows in the compacted local-BA problem: free KFs
     # (1 + `window` covisibles) + fixed frontier, padded to a static shape
     BA_WINDOW = 32
-    # compacted point capacity of the window solve (local ids; the last id
-    # is the "not selected" sentinel). A W=32 x N=1000 window observes far
-    # fewer unique landmarks in practice; overflow drops the least-recently
-    # allocated extras from THIS solve only.
-    BA_POINTS = 8192
+    # compacted point capacities of the window solve (local ids; the last
+    # id of the chosen bucket is the "not selected" sentinel). A W=32 x
+    # N=1000 window observes far fewer unique landmarks in practice — the
+    # smallest bucket that fits is chosen per solve (each bucket is its own
+    # compiled program; the T-scatter that dominates the LM iteration is
+    # ~6x cheaper at 2048 rows than 8192). Overflow beyond the largest
+    # bucket drops the extras from THIS solve only.
+    BA_POINT_BUCKETS = (2048, 4096, 8192)
 
     def __init__(self, cam: proj.CameraIntrinsics, n_levels: int,
                  scale_factor: float, ba_iters: int = 6, cg_iters: int = 30,
@@ -729,11 +732,12 @@ class LocalMapper:
         # instead of the full point capacity (see _ba_impl). Any device-side
         # association the mirror lags on maps to the sentinel and is dropped
         # from this solve only.
-        Q = self.BA_POINTS
         P = m.point_capacity
         win_all = [int(k) for k in win_idx[: n_f + len(frontier)]]
         rows = graph.kf_row[win_all]
         pts = np.unique(rows[rows >= 0]).astype(np.int64)
+        Q = next((b for b in self.BA_POINT_BUCKETS if len(pts) < b),
+                 self.BA_POINT_BUCKETS[-1])
         if len(pts) > Q - 1:
             pts = pts[: Q - 1]
         lut = np.full(P, Q - 1, np.int32)

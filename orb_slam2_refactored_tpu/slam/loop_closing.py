@@ -29,7 +29,7 @@ import numpy as np
 from ..geometry import projection as proj
 from ..geometry import se3, sim3
 from ..ops import matching
-from ..optim.ba import BAProblem, ba_solve
+from ..optim.ba import ba_solve
 from ..optim.pose_graph import (
     PoseGraphProblem, edge_measurement, pose_graph_solve,
 )
@@ -525,16 +525,9 @@ class LoopCloser:
         return m, {"gba_cost": (g0, g1)}
 
     def _gba_impl(self, m: MapArrays, free_mask):
-        prob = BAProblem(
-            kf_pose=m.kf_pose,
-            kf_fixed=~free_mask,
-            obs_uv=m.kf_xy,
-            obs_ur=m.kf_uright,
-            obs_pt=m.kf_mp,
-            obs_inv_s2=self.inv_sigma2[m.kf_level],
-            pt_pos=m.mp_pos,
-            pt_valid=m.mp_valid,
-        )
+        from ..optim.ba import problem_from_map
+
+        prob = problem_from_map(m, free_mask, self.inv_sigma2)
         res = ba_solve(prob, self.cam, iters=self.gba_iters,
                        cg_iters=self.gba_cg_iters, lambda0=1e-3)
         return res.kf_pose, res.pt_pos, res.obs_inlier, res.initial_cost, res.final_cost

@@ -181,23 +181,23 @@ class SlamSystem:
         return self._track(lambda: self.tracker.track_rgbd(img, depth, timestamp))
 
     def _track(self, fn):
-        if self.localization_only:
-            # freeze map growth: suppress keyframe creation (ModeManager's
-            # localization mode stops LocalMapping, src/System.cc:228-250)
-            saved = self.tracker._need_new_keyframe
-            self.tracker._need_new_keyframe = lambda *a, **k: False
-            try:
-                return fn()
-            finally:
-                self.tracker._need_new_keyframe = saved
         return fn()
 
     # ------------------------------------------------------------------
 
     def activate_localization_mode(self):
+        """Track-only mode (ModeManager stopping LocalMapping,
+        `/root/reference/src/System.cc:221-271`): the in-flight mapping job
+        and every deferred mapping product are flushed FIRST (the reference
+        blocks on LocalMapping::Stop the same way), then keyframe creation
+        and the mapping pump are disabled — the map cannot mutate until
+        deactivation."""
+        self.tracker._finalize_map()
+        self.tracker.localization_only = True
         self.localization_only = True
 
     def deactivate_localization_mode(self):
+        self.tracker.localization_only = False
         self.localization_only = False
 
     def get_tracking_state(self) -> int:

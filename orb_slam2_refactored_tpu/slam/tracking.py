@@ -1537,7 +1537,10 @@ class Tracker:
 
     def _need_new_keyframe(self, n_inl, tracked_close, untracked_close) -> bool:
         """NeedNewKeyFrame policy (`/root/reference/src/Tracking.cc:465-550`):
-        ratio vs reference KF, stereo close-point pressure, interval gates."""
+        ratio vs reference KF, stereo close-point pressure, interval gates.
+        Localization-only mode suppresses keyframes outright (`:470-471`)."""
+        if getattr(self, "localization_only", False):
+            return False
         if self.frames_since_kf < self.cfg.kf_min_interval:
             return False
         need_close = (tracked_close < 100) and (untracked_close > 70)
@@ -1860,6 +1863,10 @@ class Tracker:
         lm = self.local_mapper
         job = getattr(self, "_map_job", None)
         if lm is None or job is None:
+            return
+        if getattr(self, "localization_only", False) and not force:
+            # localization mode froze the map; a job can only exist here if
+            # the mode flipped mid-cycle — hold it until deactivation
             return
         slot, stage = job
         if stage == -1:

@@ -138,10 +138,12 @@ def main():
     win_valid[:n_f] = True
     win_idx[n_f:n_f + len(frontier)] = frontier
     win_valid[n_f:n_f + len(frontier)] = True
-    Q = lm.BA_POINTS
     P = m.point_capacity
     rows = graph.kf_row[[int(k) for k in win_idx[: n_f + len(frontier)]]]
-    pts = np.unique(rows[rows >= 0]).astype(np.int64)[: Q - 1]
+    pts = np.unique(rows[rows >= 0]).astype(np.int64)
+    Q = next((b for b in lm.BA_POINT_BUCKETS if len(pts) < b),
+             lm.BA_POINT_BUCKETS[-1])
+    pts = pts[: Q - 1]
     lut = np.full(P, Q - 1, np.int32)
     lut[pts] = np.arange(len(pts), dtype=np.int32)
     pts_local = np.full(Q, P, np.int32)

@@ -68,6 +68,13 @@ class TestSystem:
         assert len(lines) == len(system.tracker.graph.alive_kfs())
 
     def test_localization_mode(self, system_run):
+        """Localization mode must FREEZE the map — not just suppress new
+        keyframes but also stop the mapping pipeline from mutating device
+        state (the reference stops LocalMapping outright,
+        src/System.cc:221-271). Byte-hash the map arrays across 50 tracked
+        frames."""
+        import hashlib
+
         system, gt = system_run
         scene = SyntheticScene(
             width=320, height=240, fx=260.0, fy=260.0,
@@ -75,10 +82,25 @@ class TestSystem:
         )
         n_kf_before = len(system.tracker.graph.alive_kfs())
         system.activate_localization_mode()
-        img, depth = scene.render(orbit_trajectory(20, radius=0.3, yaw_amp=0.25)[5])
-        for _ in range(3):
-            system.track_rgbd(img, depth, timestamp=99.0)
+
+        def map_hash():
+            h = hashlib.sha256()
+            m = system.tracker.map
+            for a in (m.kf_pose, m.kf_mp, m.kf_valid, m.mp_pos, m.mp_valid,
+                      m.mp_desc):
+                h.update(np.asarray(a).tobytes())
+            h.update(np.int64(system.tracker.graph.num_kfs).tobytes())
+            return h.hexdigest()
+
+        h0 = map_hash()
+        traj = orbit_trajectory(50, radius=0.3, yaw_amp=0.25)
+        for i in range(50):
+            img, depth = scene.render(traj[i])
+            system.track_rgbd(img, depth, timestamp=99.0 + i / 30.0)
+        system.tracker.flush()
+        assert map_hash() == h0, "map mutated in localization mode"
         assert len(system.tracker.graph.alive_kfs()) == n_kf_before
+        assert system.get_tracking_state() == 1  # still tracking against it
         system.deactivate_localization_mode()
 
     def test_viz_plot(self, system_run, tmp_path):
