@@ -83,6 +83,10 @@ def main():
         map_capacity=MapCapacity(max_keyframes=128, max_points=32768,
                                  max_features=1000),
         depth_subsample=int(os.environ.get("BENCH_DEPTH_SUB", "2")),
+        depth_encoding=os.environ.get("BENCH_DEPTH_ENC", "log8"),
+                            # 1 byte/px log-depth (+-0.8% step, ATE-gated
+                            # below): the link is the bottleneck, and this
+                            # trims the 460KB/frame payload to 384KB
                             # tunnel upload bandwidth ~10-25MB/s is the frame
                             # ceiling; subsampled depth (sampled at keypoints,
                             # outliers chi2-gated) shrinks the dominant payload.
@@ -114,19 +118,41 @@ def main():
     print(f"[bench] warmup ({warm} frames, compiles) {time.time()-t0:.1f}s",
           file=sys.stderr)
 
-    t0 = time.time()
-    for i in range(warm, N_FRAMES):
-        tracker.track_rgbd(imgs[i], depths[i], timestamp=i / 30.0)
-    tracker.flush()
-    dt = time.time() - t0
-    fps = (N_FRAMES - warm) / dt
-
-    est = np.stack(tracker.trajectory)
-    rmse, _ = ate_rmse(est, gt, align="se3")
+    # ---- measured windows ----
+    # The tunnel's marginal bandwidth swings ~2x minute to minute (observed
+    # 63-103 fps for identical code); ONE window would score tunnel weather,
+    # not the engine. Three windows over the same orbit (a natural loop —
+    # the tracker keeps tracking revisited structure in steady state) and
+    # the MEDIAN is the reported number; the spread goes to stderr.
+    N_WINDOWS = int(os.environ.get("BENCH_WINDOWS", "3"))
+    window_fps = []
+    rmse = None
+    for w in range(N_WINDOWS):
+        if w:
+            # identical workload per window: fresh map, compiled programs
+            # retained, quick re-warm over the warmup prefix (all cached)
+            tracker.reset_map()
+            for i in range(warm):
+                tracker.track_rgbd(imgs[i], depths[i],
+                                   timestamp=(w * N_FRAMES + i) / 30.0)
+        t0 = time.time()
+        for i in range(warm, N_FRAMES):
+            tracker.track_rgbd(imgs[i], depths[i],
+                               timestamp=(w * N_FRAMES + i) / 30.0)
+        tracker.flush()
+        dt = time.time() - t0
+        window_fps.append((N_FRAMES - warm) / dt)
+        if w == 0:
+            # accuracy gate on the first pass (trajectory aligns 1:1 to gt)
+            est = np.stack(tracker.trajectory[:N_FRAMES])
+            rmse, _ = ate_rmse(est, gt[: len(est)], align="se3")
+    fps = float(np.median(window_fps))
     n_kf = len(tracker.graph.alive_kfs())
     print(
-        f"[bench] {fps:.1f} fps, ATE {rmse*100:.2f} cm, {n_kf} keyframes, "
-        f"state={tracker.state}", file=sys.stderr,
+        f"[bench] {fps:.1f} fps (windows: "
+        f"{', '.join(f'{f:.1f}' for f in window_fps)}), "
+        f"ATE {rmse*100:.2f} cm, {n_kf} keyframes, state={tracker.state}",
+        file=sys.stderr,
     )
     if rmse > 0.05:
         print(f"[bench] WARNING: ATE {rmse:.3f} m exceeds 5 cm gate",

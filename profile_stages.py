@@ -92,7 +92,7 @@ def main():
     # full fused step
     bench_stage("step (fused,packed)", tracker._step_packed, buf, last,
                 last_mp, m, pose, vel, ref_kf, mp_vis, mp_found, local_mask,
-                rt=rt)
+                tracker.mp_seen_dev, tracker.fidx_dev, rt=rt)
     # extraction only
     prep = jax.jit(tracker._prepare_impl)
     bench_stage("prepare (extract+depth)", prep, img, depth, rt=rt)

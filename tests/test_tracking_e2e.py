@@ -137,3 +137,34 @@ class TestRgbdOdometry:
             results[sub], _ = ate_rmse(est, gt, align="se3")
         print(f"ATE full-res {results[1]:.4f}, half-res depth {results[2]:.4f}")
         assert results[2] < max(1.5 * results[1], 0.02)
+
+
+class TestLog8Depth:
+    def test_log8_roundtrip_precision(self):
+        """log8 wire format: +-0.8% relative depth error over [0.25, 16] m,
+        0 = invalid, exact invalid/valid preservation (bench.py uploads
+        RGB-D depth this way — the ATE gate there is the e2e check)."""
+        import jax.numpy as jnp
+
+        from orb_slam2_refactored_tpu.slam.map_state import MapCapacity
+        from orb_slam2_refactored_tpu.slam.tracking import Tracker, TrackerConfig
+
+        cfg = TrackerConfig(
+            width=64, height=48, fx=50.0, fy=50.0, cx=32.0, cy=24.0,
+            bf=4.0, n_features=64, n_levels=2, depth_encoding="log8",
+            map_capacity=MapCapacity(max_keyframes=4, max_points=256,
+                                     max_features=64),
+        )
+        t = Tracker(cfg)
+        rng = np.random.default_rng(0)
+        img = rng.integers(0, 255, (48, 64)).astype(np.uint8)
+        depth = rng.uniform(0.3, 12.0, (48, 64)).astype(np.float32)
+        depth[10:14, 20:30] = 0.0  # invalid holes
+        buf = t._pack_rgbd(img, depth)
+        img2, dep2 = t._unpack_impl(jnp.asarray(buf))
+        np.testing.assert_array_equal(np.asarray(img2), img)
+        d2 = np.asarray(dep2)
+        assert (d2[10:14, 20:30] == 0).all()
+        pos = depth > 0
+        rel = np.abs(d2[pos] - depth[pos]) / depth[pos]
+        assert rel.max() < 0.01, rel.max()
