@@ -19,33 +19,15 @@ TH_HIGH = 100
 BIG = 10_000  # sentinel distance for masked-out candidates (> 256 max)
 
 
-_PALLAS_OK = None  # lazy probe: TPU-only tiled kernel (wins on big matrices)
-# measured crossover on TPU v5e: XLA's fused xor+popcount wins below ~8M
-# output elements (0.3ms @ 1M); the tiled Pallas kernel wins above
-# (0.66ms vs 1.45ms @ 32M)
-_PALLAS_MIN_ELEMS = 8 << 20
-
-
-def _pallas_usable() -> bool:
-    global _PALLAS_OK
-    if _PALLAS_OK is None:
-        import os
-
-        if os.environ.get("TPU_SLAM_PALLAS", "1") == "0":
-            _PALLAS_OK = False
-        else:
-            try:
-                import jax
-
-                if jax.default_backend() != "tpu":
-                    _PALLAS_OK = False
-                else:
-                    from .pallas.hamming_kernel import available
-
-                    _PALLAS_OK = available()
-            except Exception:
-                _PALLAS_OK = False
-    return _PALLAS_OK
+# Final design note (round-3 measurement, idle TPU v5e, [1000 x 32768]
+# production whole-map shape, best-of-4x50 dispatch batches):
+#   MXU bf16 matmul form   0.262 ms   <- production path
+#   XLA xor+popcount       0.399 ms
+#   hand-written Mosaic/Pallas tiled SWAR kernel   1.303 ms
+# The systolic array IS the fast Hamming engine (bit-exact, see
+# hamming_matrix_mxu); the Pallas kernel measured 5x slower at every size
+# that occurs in the engine and was deleted rather than left as a dead
+# alternative path.
 
 
 def _pm1_bits(x):

@@ -114,3 +114,32 @@ def refine_subpixel(
     depth = jnp.where(good, bf / jnp.maximum(disparity, 0.01), -1.0)
     u_right_out = jnp.where(good, ur_ref, -1.0)
     return u_right_out, depth, good
+
+
+def refine_subpixel_pyramid(
+    levels_l, levels_r, l_xy, l_level, u_right, valid, bf: float,
+    scale_factors,
+):
+    """Per-level SAD refinement — the reference's exact octave semantics
+    (`/root/reference/src/ORBmatcher.cc:163-228`: coordinates scale into the
+    keypoint's pyramid level via `kp.pt * invScale`, the 11x11 window slides
+    THERE, and the result scales back). One `refine_subpixel` pass per level
+    (static shapes, all features each pass — dense-array style); every
+    feature selects its own level's result. Depth needs no rescale: both bf
+    and the disparity shrink by the same level scale."""
+    N = u_right.shape[0]
+    ur_out = jnp.full((N,), -1.0, jnp.float32)
+    d_out = jnp.full((N,), -1.0, jnp.float32)
+    ok_out = jnp.zeros((N,), bool)
+    for L in range(len(levels_l)):
+        sf = scale_factors[L]
+        inv = 1.0 / sf
+        ur_l, dep_l, ok_l = refine_subpixel(
+            levels_l[L], levels_r[L], l_xy * inv, u_right * inv, valid,
+            bf * inv,
+        )
+        sel = (l_level == L) & ok_l
+        ur_out = jnp.where(sel, ur_l * sf, ur_out)
+        d_out = jnp.where(sel, dep_l, d_out)
+        ok_out = ok_out | sel
+    return ur_out, d_out, ok_out

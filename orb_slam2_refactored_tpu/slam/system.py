@@ -200,6 +200,20 @@ class SlamSystem:
         self.tracker.localization_only = False
         self.localization_only = False
 
+    def change_calibration(self, settings_path: str):
+        """System::ChangeCalibration analog
+        (`/root/reference/src/System.cc:869-875`): reload camera intrinsics
+        and distortion from a settings YAML mid-session; the map survives,
+        per-frame programs re-trace on next use."""
+        st = Settings.from_yaml(settings_path)
+        cam = st.camera
+        self.settings = st
+        self.tracker.change_calibration(
+            cam.fx, cam.fy, cam.cx, cam.cy,
+            bf=cam.bf if self.sensor != MONOCULAR else None,
+            dist_coeffs=(cam.k1, cam.k2, cam.p1, cam.p2, cam.k3),
+        )
+
     def get_tracking_state(self) -> int:
         return self.tracker.state
 

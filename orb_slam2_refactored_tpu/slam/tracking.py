@@ -258,6 +258,13 @@ class Tracker:
         self.track_info: List[dict] = []
         self.timer = StageTimer()
 
+        self._build_jit_programs()
+        self._mono_ref: Optional[FrameData] = None
+
+    def _build_jit_programs(self):
+        """(Re)wrap the impl methods in fresh jax.jit objects. Called from
+        __init__ and from change_calibration — intrinsics are baked into the
+        compiled programs as constants, so a calibration swap must re-trace."""
         self._prepare = jax.jit(self._prepare_impl)
         self._prepare_packed = jax.jit(
             lambda buf: self._prepare_impl(*self._unpack_impl(buf))
@@ -277,7 +284,48 @@ class Tracker:
         self._prepare_mono = jax.jit(self._prepare_mono_impl)
         self._mono_match = jax.jit(self._mono_match_impl)
         self._mono_init = None  # built lazily (imports initializer)
-        self._mono_ref: Optional[FrameData] = None
+
+    def change_calibration(self, fx: float, fy: float, cx: float, cy: float,
+                           bf: Optional[float] = None, dist_coeffs=None):
+        """System::ChangeCalibration analog
+        (`/root/reference/src/System.cc:869-875`): swap the camera model
+        mid-session. The map and trajectory survive; the per-frame programs
+        re-trace on next use (intrinsics are compile-time constants)."""
+        cfg = self.cfg
+        cfg.fx, cfg.fy, cfg.cx, cfg.cy = fx, fy, cx, cy
+        if bf is not None:
+            cfg.bf = bf
+        if dist_coeffs is not None:
+            cfg.dist_coeffs = tuple(dist_coeffs)
+        self.cam = proj.CameraIntrinsics.create(cfg.fx, cfg.fy, cfg.cx,
+                                                cfg.cy, cfg.bf)
+        self._has_dist = any(float(c) != 0.0 for c in cfg.dist_coeffs)
+        self.dist = proj.DistCoeffs.create(*cfg.dist_coeffs)
+        if self._has_dist:
+            self.image_bounds = proj.image_bounds_np(
+                cfg.fx, cfg.fy, cfg.cx, cfg.cy, cfg.dist_coeffs,
+                cfg.width, cfg.height,
+            )
+        else:
+            self.image_bounds = (0.0, float(cfg.width), 0.0,
+                                 float(cfg.height))
+        if self.local_mapper is not None:
+            # the mapper's compiled programs also baked the old intrinsics:
+            # drain its in-flight products, then rebuild it fresh
+            self._finalize_map()
+            from .local_mapping import LocalMapper
+
+            self.local_mapper = LocalMapper(
+                self.cam, cfg.n_levels, cfg.scale_factor,
+                ba_iters=cfg.local_ba_iters, cg_iters=cfg.local_ba_cg_iters,
+            )
+        if self.loop_closer is not None:
+            lc = self.loop_closer
+            lc.cam = self.cam
+            lc._match_kfs = jax.jit(lc._match_kfs_impl)
+            lc._sim3_refine = jax.jit(lc._sim3_refine_impl)
+            lc._gba = jax.jit(lc._gba_impl)
+        self._build_jit_programs()
 
     # ------------------------------------------------------------------
     # jitted programs
@@ -381,8 +429,8 @@ class Tracker:
         """Batched L/R extraction (the reference forks two threads,
         `/root/reference/src/System.cc:449-452`; here the camera IS the batch
         axis) + row-banded stereo association (`src/ORBmatcher.cc:72-247`)."""
-        from ..ops.stereo import refine_subpixel, stereo_match
-        from ..ops.image import to_gray
+        from ..ops.stereo import refine_subpixel_pyramid, stereo_match
+        from ..ops.image import build_pyramid, to_gray
 
         both = jax.vmap(self.extractor._extract_impl)(jnp.stack([img_l, img_r]))
         lf = jax.tree_util.tree_map(lambda x: x[0], both)
@@ -392,8 +440,14 @@ class Tracker:
             rf.xy, rf.level, rf.desc, rf.valid,
             self.sf, self.cfg.bf, min_z=self.cfg.bf / self.cfg.fx,
         )
-        u_right, depth, ok = refine_subpixel(
-            to_gray(img_l), to_gray(img_r), lf.xy, u_right, ok, self.cfg.bf
+        # SAD refinement at each keypoint's OWN pyramid level (reference
+        # ComputeStereoMatches octave semantics, src/ORBmatcher.cc:163-228)
+        pyr_l = build_pyramid(to_gray(img_l).astype(jnp.float32),
+                              self.cfg.n_levels, self.cfg.scale_factor)
+        pyr_r = build_pyramid(to_gray(img_r).astype(jnp.float32),
+                              self.cfg.n_levels, self.cfg.scale_factor)
+        u_right, depth, ok = refine_subpixel_pyramid(
+            pyr_l, pyr_r, lf.xy, lf.level, u_right, ok, self.cfg.bf, self.sf
         )
         # stereo input is assumed rectified (reference requirement); when
         # distortion coeffs are nonetheless given, undistort like the

@@ -115,3 +115,37 @@ class TestSystem:
         system.reset()
         assert system.get_tracking_state() == 0
         assert len(system.tracker.trajectory) == 0
+
+
+class TestChangeCalibration:
+    def test_change_calibration_retraces_and_tracks(self, tmp_path):
+        """ChangeCalibration analog (src/System.cc:869-875): swap intrinsics
+        mid-session; the map survives and tracking continues with the new
+        camera model (programs re-trace)."""
+        planes = box_room(half_x=1.5, half_y=1.2, z_far=2.5, z_near=-2.5)
+        scene = SyntheticScene(width=320, height=240, fx=260.0, fy=260.0,
+                               planes=planes)
+        gt = orbit_trajectory(30, radius=0.3, yaw_amp=0.25)
+        system = SlamSystem.create(SETTINGS, RGBD, enable_loop_closing=False)
+        for i in range(12):
+            img, depth = scene.render(gt[i])
+            system.track_rgbd(img, depth, timestamp=i / 30.0)
+        assert system.get_tracking_state() == 1
+        n_kf = len(system.tracker.graph.alive_kfs())
+
+        # write a settings file with the SAME optics (the swap machinery is
+        # what's under test; a genuinely different lens would need new input
+        # imagery) and a marker change in fy of 0.5% that tracking tolerates
+        src = open(SETTINGS).read()
+        mod = src.replace("Camera.fy: 260.0", "Camera.fy: 261.3")
+        new_yaml = tmp_path / "recal.yaml"
+        new_yaml.write_text(mod)
+        system.change_calibration(str(new_yaml))
+        assert abs(system.tracker.cfg.fy - 261.3) < 1e-6
+        assert len(system.tracker.graph.alive_kfs()) == n_kf  # map survived
+
+        for i in range(12, 30):
+            img, depth = scene.render(gt[i])
+            system.track_rgbd(img, depth, timestamp=i / 30.0)
+        system.tracker.flush()
+        assert system.get_tracking_state() == 1
