@@ -275,6 +275,54 @@ def _brief_from_windows(win, angles, pattern: str):
     return _pack_bits(diffs < 0)
 
 
+def _gather_patches_r(img, ys, xs, radius: int):
+    """[K,2r+1,2r+1] patches (generalized _gather_patches; same row-gather
+    + column-slice lowering)."""
+    P = 2 * radius + 1
+    d = jnp.arange(-radius, radius + 1)
+    rows = img[ys[:, None] + d[None, :]]  # [K,P,W]
+    return jax.vmap(
+        lambda r, x: jax.lax.dynamic_slice(r, (0, x - radius), (P, P))
+    )(rows, xs)
+
+
+@functools.lru_cache(maxsize=2)
+def _blur31_matrix(ksize: int = 7, sigma: float = 2.0) -> np.ndarray:
+    """[37,31] band matrix: (B^T raw37 B)[c,d] equals the full-image
+    separable Gaussian evaluated on the interior 31x31 window (identical
+    coefficients; windows sit >= EDGE_MARGIN from the border, so the
+    full-image reflect padding never reaches them)."""
+    from .image import _gaussian_kernel
+
+    k = _gaussian_kernel(ksize, sigma)
+    halo = ksize // 2
+    B = np.zeros((PATCH_SIZE + 2 * halo, PATCH_SIZE), np.float32)
+    for c in range(PATCH_SIZE):
+        B[c: c + ksize, c] = k
+    return B
+
+
+def angles_and_descriptors_mxu_raw(lvl, ys, xs, pattern: str = "fresh"):
+    """Fused IC-angle + rBRIEF from ONE raw-image window gather, blurring
+    IN-WINDOW: the 37x37 raw patch collapses to the blurred 31x31 window
+    via two small matmuls (B^T P B), so the full-image GaussianBlur pass
+    (`src/ORBextractor.cc:791`) disappears from the per-level pipeline.
+    Bit-identical to blurring the whole level first (interior windows,
+    same kernel), just cheaper: the blur work follows the keypoints
+    instead of the pixels."""
+    halo = 3  # 7-tap kernel
+    raw = _gather_patches_r(lvl, ys, xs, HALF_PATCH + halo)  # [K,37,37]
+    B = jnp.asarray(_blur31_matrix())
+    win = jnp.einsum("ac,kab,bd->kcd", B, raw, B).reshape(-1, 961)
+    _, xm, ym = circular_patch_masks()
+    mom = jnp.asarray(
+        np.stack([xm.reshape(-1), ym.reshape(-1)], axis=1)
+    )  # f32[961,2]
+    m = win @ mom
+    ang = jnp.arctan2(m[:, 1], m[:, 0])
+    return ang, _brief_from_windows(win, ang, pattern)
+
+
 def angles_and_descriptors_mxu(blurred, ys, xs, pattern: str = "fresh"):
     """IC-angle + rotated-BRIEF from ONE 31x31 blurred-window gather.
 
@@ -395,14 +443,15 @@ class OrbExtractor:
             # clamp for safe gathers on invalid (padded) slots
             ys_c = jnp.clip(ys, EDGE_MARGIN, h - 1 - EDGE_MARGIN)
             xs_c = jnp.clip(xs, EDGE_MARGIN, w - 1 - EDGE_MARGIN)
-            blurred = image_ops.gaussian_blur(lvl, 7, 2.0)
             if self.desc_mode == "mxu" and pattern_fits_window(self.pattern):
-                # one window gather feeds both the IC-angle moments and the
-                # BRIEF contraction (see angles_and_descriptors_mxu)
-                ang, desc = angles_and_descriptors_mxu(
-                    blurred, ys_c, xs_c, self.pattern
+                # one RAW window gather feeds blur + IC-angle moments + the
+                # BRIEF contraction; no full-image blur pass (see
+                # angles_and_descriptors_mxu_raw)
+                ang, desc = angles_and_descriptors_mxu_raw(
+                    lvl, ys_c, xs_c, self.pattern
                 )
             else:
+                blurred = image_ops.gaussian_blur(lvl, 7, 2.0)
                 ang = ic_angles(lvl, ys_c, xs_c)
                 desc = brief_descriptors(blurred, ys_c, xs_c, ang, self.pattern)
             s = self.level_scales[l]
