@@ -119,9 +119,13 @@ class SlamSystem:
         map_capacity: Optional[MapCapacity] = None,
         enable_loop_closing: bool = True,
         vocabulary=None,
+        use_viewer: bool = False,
+        viewer_dir: str = "viz_live",
     ) -> "SlamSystem":
         """Build from a reference-format YAML settings file
-        (`src/System.cc:333-375` key schema — see config.Settings)."""
+        (`src/System.cc:333-375` key schema — see config.Settings).
+        `use_viewer` is the reference ctor's bUseViewer: starts the
+        background LiveViewer render loop (viz/viewer.py)."""
         st = Settings.from_yaml(settings_path)
         cam = st.camera
         width = cam.width
@@ -155,7 +159,12 @@ class SlamSystem:
         tracker = Tracker(cfg)
         if vocabulary is not None:
             tracker.set_vocabulary(vocabulary)
-        return SlamSystem(tracker, sensor, st)
+        system = SlamSystem(tracker, sensor, st)
+        if use_viewer:
+            from ..viz.viewer import LiveViewer
+
+            system.viewer = LiveViewer(tracker, out_dir=viewer_dir).start()
+        return system
 
     # ------------------------------------------------------------------
     # per-frame entry points (System::Track*, src/System.cc:430-622)
@@ -241,8 +250,14 @@ class SlamSystem:
         self.timestamps = []
 
     def shutdown(self):
-        """No threads to join (reference joins 3 + GBA, src/System.cc:665-684);
-        provided for API parity."""
+        """Stop the viewer thread if one is running (the reference joins
+        Viewer + LocalMapping + LoopClosing + GBA, src/System.cc:665-684;
+        the SLAM stages here are staged in-process, so the viewer is the
+        only actual thread)."""
+        v = getattr(self, "viewer", None)
+        if v is not None:
+            v.stop()
+            self.viewer = None
 
     # ------------------------------------------------------------------
     # trajectory export — byte-format parity with the reference

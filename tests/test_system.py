@@ -149,3 +149,26 @@ class TestChangeCalibration:
             system.track_rgbd(img, depth, timestamp=i / 30.0)
         system.tracker.flush()
         assert system.get_tracking_state() == 1
+
+
+class TestLiveViewer:
+    def test_live_viewer_renders_during_tracking(self, tmp_path):
+        """Runtime Viewer analog (src/Viewer.cc:62-179): a background
+        render loop produces map snapshots WHILE tracking runs, and
+        stop() leaves a final consistent frame."""
+        from orb_slam2_refactored_tpu.viz.viewer import LiveViewer
+
+        planes = box_room(half_x=1.5, half_y=1.2, z_far=2.5, z_near=-2.5)
+        scene = SyntheticScene(width=320, height=240, fx=260.0, fy=260.0,
+                               planes=planes)
+        gt = orbit_trajectory(24, radius=0.3, yaw_amp=0.25)
+        system = SlamSystem.create(SETTINGS, RGBD, enable_loop_closing=False)
+        viewer = LiveViewer(system.tracker, out_dir=str(tmp_path / "live"),
+                            hz=4.0).start()
+        for i in range(24):
+            img, depth = scene.render(gt[i])
+            system.track_rgbd(img, depth, timestamp=i / 30.0)
+        viewer.stop()
+        latest = tmp_path / "live" / "map_latest.png"
+        assert latest.exists() and latest.stat().st_size > 10000
+        assert viewer.frames_rendered >= 1
