@@ -6,9 +6,27 @@ Baseline: the reference CPU engine tracks TUM sequences in real time at the
 dataset's 30 fps replay rate (`/root/reference/Examples/Monocular/TUM1.yaml`
 `Camera.fps: 30.0`, pacing loop `mono_tum.cc:92-100`; desktop-CPU median
 tracking times in the ORB-SLAM2 literature are ~25-35 ms/frame). We therefore
-score `vs_baseline = fps / 30.0`. The run also sanity-checks trajectory
-accuracy (ATE must stay sub-5cm) so throughput can't be bought with garbage
-poses; accuracy details go to stderr.
+score `vs_baseline = fps / 30.0`. The run also HARD-gates trajectory
+accuracy (ATE must stay under 3 cm or vs_baseline is zeroed) so throughput
+can't be bought with garbage poses; accuracy details go to stderr.
+
+Measurement design (round 4):
+- warmup is ONE FULL ORBIT: every program the steady state uses — including
+  the loop-closure / GBA path that fires when the orbit closes — compiles
+  before measurement, then `warm_stage_programs()` no-op-compiles every
+  padding-bucket variant of the keyframe-stage programs.
+- all three windows run the IDENTICAL workload (reset -> unmeasured re-warm
+  prefix -> measured remainder of the orbit); the median is the score and
+  the spread is printed.
+- ingest granularity is measured, not assumed: k-frame batched upload
+  (`track_rgbd_batch`) was implemented and swept against per-frame upload
+  on the real tracker — per-frame WINS on this tunnel (111.1 vs 58.9 vs
+  49.6 fps for k=1/4/8, same minute): large transfers head-of-line-block
+  the pipelined scalar readbacks on the shared link, costing far more than
+  the per-transfer overhead they amortize. BENCH_BATCH therefore defaults
+  to 1; the batched API remains for PCIe-attached deployments where
+  per-transfer setup, not head-of-line latency, dominates.
+- the per-stage report covers ONLY the measured windows (steady state).
 """
 
 import json
@@ -28,11 +46,12 @@ jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 N_FRAMES = int(os.environ.get("BENCH_FRAMES", "200"))
-# warmup must cover several keyframe cycles: the KF-stage programs (and
-# their padding-bucket variants) compile lazily, and a single remote compile
-# through the tunnel costs seconds
-WARMUP = int(os.environ.get("BENCH_WARMUP", "30"))
+# re-warm prefix per window: enough frames to establish the map (vocabulary
+# survives reset_map, so no re-training happens here)
+WARMUP = int(os.environ.get("BENCH_WARMUP", "46"))
+BATCH = int(os.environ.get("BENCH_BATCH", "1"))
 BASELINE_FPS = 30.0
+ATE_GATE_M = 0.03  # hard: a >3cm trajectory zeroes the score (VERDICT r3 #6)
 CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                      ".bench_cache", f"vga_{N_FRAMES}.npz")
 
@@ -64,7 +83,7 @@ def get_frames():
 
 
 def main():
-    from orb_slam2_refactored_tpu.io.evaluation import ate_rmse
+    from orb_slam2_refactored_tpu.io.evaluation import ate_rmse, rpe
     from orb_slam2_refactored_tpu.slam.map_state import MapCapacity
     from orb_slam2_refactored_tpu.slam.tracking import Tracker, TrackerConfig
 
@@ -86,77 +105,87 @@ def main():
         depth_encoding=os.environ.get("BENCH_DEPTH_ENC", "log8"),
                             # 1 byte/px log-depth (+-0.8% step, ATE-gated
                             # below): the link is the bottleneck, and this
-                            # trims the 460KB/frame payload to 384KB
-                            # tunnel upload bandwidth ~10-25MB/s is the frame
-                            # ceiling; subsampled depth (sampled at keypoints,
-                            # outliers chi2-gated) shrinks the dominant payload.
-                            # The ATE gate below keeps this honest.
+                            # trims the 460KB/frame payload to 384KB.
+                            # Subsampled depth (sampled at keypoints,
+                            # outliers chi2-gated) shrinks the dominant
+                            # payload; the ATE gate keeps this honest.
     )
     tracker = Tracker(cfg)
 
+    # ---- warmup: one FULL orbit ----
+    # Compiles the per-frame programs, trains the vocabulary (the analog of
+    # the reference loading ORBvoc.txt, ~10s, src/System.cc:343), and —
+    # because the orbit CLOSES inside warmup — the loop-closure, essential-
+    # graph and GBA-merge programs too. Then no-op-compile every
+    # padding-bucket variant of the keyframe-stage programs.
+    def ingest(lo, hi, ts_base):
+        """Same ingest path as the measured windows (BENCH_BATCH frames per
+        upload; 1 = per-frame, the measured winner on this link)."""
+        if BATCH <= 1:
+            for i in range(lo, hi):
+                tracker.track_rgbd(imgs[i], depths[i],
+                                   timestamp=(ts_base + i) / 30.0)
+            return
+        idx = lo
+        while idx < hi:
+            k = min(BATCH, hi - idx)
+            tracker.track_rgbd_batch(
+                imgs[idx:idx + k], depths[idx:idx + k],
+                [(ts_base + i) / 30.0 for i in range(idx, idx + k)],
+            )
+            idx += k
+
     t0 = time.time()
-    warm = 0
-    for _ in range(WARMUP):
-        tracker.track_rgbd(imgs[warm], depths[warm], timestamp=warm / 30.0)
-        warm += 1
-    # the vocabulary + BoW index (serves relocalization even with loop
-    # closing off) trains at the 4th keyframe — a one-time startup cost,
-    # the analog of the reference loading ORBvoc.txt (~10s,
-    # src/System.cc:343). Keep warming until it has trained, plus a few
-    # keyframe cycles so its per-KF programs compile; the measured window
-    # is then steady-state.
-    post_vocab = 0
-    while warm < N_FRAMES - 80 and post_vocab < 16:
-        if tracker.loop_closer is not None:
-            post_vocab += 1
-        tracker.track_rgbd(imgs[warm], depths[warm], timestamp=warm / 30.0)
-        warm += 1
+    ingest(0, N_FRAMES, 0)
+    tracker.flush()
     if tracker.loop_closer is not None:
         # compile the periodic idf refit (fires every 8 indexed keyframes)
-        # outside the measured window
         tracker.loop_closer.db.refit_idf()
-    print(f"[bench] warmup ({warm} frames, compiles) {time.time()-t0:.1f}s",
-          file=sys.stderr)
+    tracker.warm_stage_programs()
+    print(f"[bench] warmup (full orbit, {N_FRAMES} frames + bucket "
+          f"precompile) {time.time()-t0:.1f}s", file=sys.stderr)
 
     # ---- measured windows ----
     # The tunnel's marginal bandwidth swings ~2x minute to minute (observed
     # 63-103 fps for identical code); ONE window would score tunnel weather,
-    # not the engine. Three windows over the same orbit (a natural loop —
-    # the tracker keeps tracking revisited structure in steady state) and
-    # the MEDIAN is the reported number; the spread goes to stderr.
+    # not the engine. Three IDENTICAL windows (fresh map, re-warmed prefix,
+    # measured remainder) and the MEDIAN is the reported number; the spread
+    # goes to stderr.
     N_WINDOWS = int(os.environ.get("BENCH_WINDOWS", "3"))
+    tracker.timer.reset()
     window_fps = []
     rmse = None
+    rpe_t = None
     for w in range(N_WINDOWS):
-        if w:
-            # identical workload per window: fresh map, compiled programs
-            # retained, quick re-warm over the warmup prefix (all cached)
-            tracker.reset_map()
-            for i in range(warm):
-                tracker.track_rgbd(imgs[i], depths[i],
-                                   timestamp=(w * N_FRAMES + i) / 30.0)
+        tracker.reset_map()
+        tracker.timer.paused = True  # re-warm is not steady state
+        ingest(0, WARMUP, (w + 1) * N_FRAMES)
+        tracker.timer.paused = False
+        tracker.sync_device()  # re-warm/GBA work must not leak into the window
         t0 = time.time()
-        for i in range(warm, N_FRAMES):
-            tracker.track_rgbd(imgs[i], depths[i],
-                               timestamp=(w * N_FRAMES + i) / 30.0)
+        ingest(WARMUP, N_FRAMES, (w + 1) * N_FRAMES)
         tracker.flush()
         dt = time.time() - t0
-        window_fps.append((N_FRAMES - warm) / dt)
+        window_fps.append((N_FRAMES - WARMUP) / dt)
         if w == 0:
-            # accuracy gate on the first pass (trajectory aligns 1:1 to gt)
-            est = np.stack(tracker.trajectory[:N_FRAMES])
-            rmse, _ = ate_rmse(est, gt[: len(est)], align="se3")
+            # accuracy gate on the first window (re-warm + measured frames
+            # align 1:1 with gt over the whole orbit)
+            est = np.stack(tracker.trajectory[-N_FRAMES:])
+            rmse, _ = ate_rmse(est, gt[:N_FRAMES], align="se3")
+            rpe_t, rpe_r = rpe(est, gt[:N_FRAMES])
     fps = float(np.median(window_fps))
     n_kf = len(tracker.graph.alive_kfs())
     print(
         f"[bench] {fps:.1f} fps (windows: "
         f"{', '.join(f'{f:.1f}' for f in window_fps)}), "
-        f"ATE {rmse*100:.2f} cm, {n_kf} keyframes, state={tracker.state}",
+        f"ATE {rmse*100:.2f} cm, RPE {rpe_t*100:.2f} cm/frame, "
+        f"{n_kf} keyframes, state={tracker.state}",
         file=sys.stderr,
     )
-    if rmse > 0.05:
-        print(f"[bench] WARNING: ATE {rmse:.3f} m exceeds 5 cm gate",
-              file=sys.stderr)
+    gate_ok = rmse <= ATE_GATE_M
+    if not gate_ok:
+        print(f"[bench] FAIL: ATE {rmse:.3f} m exceeds the {ATE_GATE_M} m "
+              f"gate — scoring vs_baseline as 0", file=sys.stderr)
 
     # ---- per-stage device-time breakdown (tunnel-excluded) ----
     # Each stage is timed over REPS back-to-back dispatches with one tiny
@@ -196,10 +225,11 @@ def main():
         t_step = _stage(tracker._step_packed, *args, rt=rt)
         t_prep = _stage(tracker._prepare_packed, buf_j, rt=rt)
         print(f"[bench] device: step {t_step*1e3:.1f} ms "
-              f"(extract {t_prep*1e3:.1f} ms), tunnel RT {rt*1e3:.1f} ms",
-              file=sys.stderr)
-        print(f"[bench] keyframe-stage wall times:\n{tracker.timer.report()}",
-              file=sys.stderr)
+              f"(extract {t_prep*1e3:.1f} ms), tunnel RT {rt*1e3:.1f} ms "
+              f"-> device-bound ~{1.0/t_step:.0f} fps vs "
+              f"link-inclusive {fps:.1f} fps", file=sys.stderr)
+        print(f"[bench] keyframe-stage wall times (measured windows only):\n"
+              f"{tracker.timer.report()}", file=sys.stderr)
     except Exception as e:  # breakdown must never break the metric line
         print(f"[bench] breakdown failed: {e}", file=sys.stderr)
 
@@ -207,7 +237,7 @@ def main():
         "metric": "rgbd_tracking_fps_vga",
         "value": round(fps, 2),
         "unit": "frames/s",
-        "vs_baseline": round(fps / BASELINE_FPS, 3),
+        "vs_baseline": round(fps / BASELINE_FPS, 3) if gate_ok else 0.0,
     }))
 
 

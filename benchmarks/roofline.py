@@ -1,0 +1,209 @@
+"""Roofline report for the engine's hot kernels on one TPU chip.
+
+BASELINE.md targets "BA/matching kernels at speed-of-light per chip
+(roofline-measured)" — this harness measures attained device time for the
+four hot kernels (reference hot loops: extraction
+`/root/reference/src/ORBextractor.cc:743-820`, whole-map matching
+`src/ORBmatcher.cc:72-247,315-382`, pose optimization
+`src/Optimizer.cc:345-489`, window BA `src/Optimizer.cc:491-736`) and
+compares them against the chip's HBM-bandwidth and MXU ceilings with
+analytic byte/FLOP models, answering: which bound does each kernel sit
+under, and how close is it?
+
+Chip model (TPU v5e): HBM ~819 GB/s, MXU ~197 TFLOP/s bf16. Timing uses
+back-to-back dispatch batches with the tunnel round trip subtracted, same
+method as bench.py's device breakdown.
+"""
+
+import os
+import sys
+import time
+
+import numpy as np
+
+os.makedirs("/tmp/jax_cache", exist_ok=True)
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+import jax.numpy as jnp
+
+HBM_GBPS = 819.0
+MXU_TFLOPS = 197.0
+MB = 1e6
+
+
+def _rt():
+    f = jax.jit(lambda a: a + 1)
+    x = jnp.zeros((1,), np.float32)
+    for _ in range(3):
+        np.asarray(f(x))
+    t = time.perf_counter()
+    for _ in range(10):
+        np.asarray(f(x))
+    return (time.perf_counter() - t) / 10
+
+
+def _stage(fn, *args, reps=20, rt=0.0):
+    out = fn(*args)
+    np.asarray(jax.tree_util.tree_leaves(out)[0].ravel()[:1])
+    best = np.inf
+    for _ in range(3):
+        t = time.perf_counter()
+        for _ in range(reps):
+            out = fn(*args)
+        np.asarray(jax.tree_util.tree_leaves(out)[0].ravel()[:1])
+        best = min(best, (time.perf_counter() - t - rt) / reps)
+    return best
+
+
+def row(name, t_s, bytes_est, flops_est, note):
+    gbps = bytes_est / t_s / 1e9
+    tflops = flops_est / t_s / 1e12
+    p_hbm = 100.0 * gbps / HBM_GBPS
+    p_mxu = 100.0 * tflops / MXU_TFLOPS
+    bound = "HBM" if p_hbm >= p_mxu else "MXU"
+    if max(p_hbm, p_mxu) < 10.0:
+        bound = "latency/VPU"
+    print(f"{name:18s} {t_s*1e3:7.3f} ms  {bytes_est/MB:8.1f} MB "
+          f"{gbps:7.1f} GB/s ({p_hbm:5.1f}% HBM)  "
+          f"{flops_est/1e9:8.2f} GF {tflops:7.2f} TF/s ({p_mxu:5.1f}% MXU)"
+          f"  bound={bound}  {note}")
+    return {"kernel": name, "ms": t_s * 1e3, "GBps": gbps,
+            "pct_hbm": p_hbm, "pct_mxu": p_mxu, "bound": bound}
+
+
+def main():
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    import bench as bench_mod
+    from orb_slam2_refactored_tpu.ops import hamming
+    from orb_slam2_refactored_tpu.optim.pose_opt import pose_optimize
+    from orb_slam2_refactored_tpu.slam.map_state import MapCapacity
+    from orb_slam2_refactored_tpu.slam.tracking import Tracker, TrackerConfig
+
+    print(f"[roofline] devices: {jax.devices()}", file=sys.stderr)
+    imgs, depths, gt = bench_mod.get_frames()
+    cfg = TrackerConfig(
+        width=640, height=480, fx=520.0, fy=520.0, cx=320.0, cy=240.0,
+        bf=0.08 * 520.0, n_features=1000, n_levels=8, pipelined=True,
+        map_capacity=MapCapacity(max_keyframes=128, max_points=32768,
+                                 max_features=1000),
+        depth_subsample=2, depth_encoding="log8",
+    )
+    tracker = Tracker(cfg)
+    for i in range(60):  # populate a live map
+        tracker.track_rgbd(imgs[i], depths[i], timestamp=i / 30.0)
+    tracker.flush()
+    rt = _rt()
+    print(f"[roofline] tunnel RT {rt*1e3:.1f} ms (subtracted)",
+          file=sys.stderr)
+    H, W, L = 480, 640, 8
+    N = cfg.n_features
+    P = cfg.map_capacity.max_points
+    K = cfg.map_capacity.max_keyframes
+
+    print(f"\n=== roofline (v5e: {HBM_GBPS:.0f} GB/s HBM, "
+          f"{MXU_TFLOPS:.0f} TF/s bf16 MXU) ===")
+    rows = []
+
+    # ---- 1. ORB extraction (+depth assoc): tracker._prepare_packed ----
+    # Byte model (f32 pyramid; area sum over 8 levels at 1.2 scale/level =
+    # sum (1/1.44)^l ~ 3.27x base):
+    pyr = 3.27 * H * W
+    b_resize = 2 * pyr * 4            # read+write each level
+    b_blur = 4 * pyr * 4              # separable 7-tap: 2 passes r+w
+    b_fast = 3 * pyr * 4              # 16-offset compares over ~3 fused reads
+    b_gather = N * (31 * 31 + 256 * 2) * 4  # patch moments + BRIEF taps
+    bytes_ex = b_resize + b_blur + b_fast + b_gather
+    # FLOP model: FAST 2x16 cmp/px, score, blur 28 MAC/px, moments/BRIEF
+    flops_ex = pyr * (32 + 28 + 10) + N * (31 * 31 * 4 + 256 * 2)
+    buf_j = jnp.asarray(tracker._pack_rgbd(imgs[-1], depths[-1]))
+    t = _stage(tracker._prepare_packed, buf_j, rt=rt)
+    rows.append(row("extract(8-lvl)", t, bytes_ex, flops_ex,
+                    "pyramid+FAST+BRIEF: elementwise/gather passes"))
+
+    # ---- 2. whole-map Hamming matcher [N x P] on the MXU ----
+    rng = np.random.default_rng(0)
+    da = jnp.asarray(rng.integers(0, 2**32, (N, 8), np.uint32))
+    db = jnp.asarray(rng.integers(0, 2**32, (P, 8), np.uint32))
+    ham = jax.jit(hamming.hamming_matrix_mxu)
+    t = _stage(ham, da, db, rt=rt)
+    # bytes: pm1 expansion (read 32B + write 512B each side) + i32 output
+    bytes_h = (N + P) * (32 + 512) + N * P * 4
+    flops_h = 2.0 * N * 256 * P
+    rows.append(row(f"hamming[{N}x{P//1024}k]", t, bytes_h, flops_h,
+                    "bit-exact bf16 matmul; i32 out matrix dominates bytes"))
+
+    # ---- 3. pose-only LM (4 rounds x 10 iters, src/Optimizer.cc:345-489) --
+    pts = jnp.asarray(rng.normal(0, 1.0, (N, 3)), jnp.float32) + \
+        jnp.asarray([0, 0, 3.0], jnp.float32)
+    from orb_slam2_refactored_tpu.geometry import projection as proj_g
+    xc = pts  # identity pose
+    uv = jnp.stack([
+        cfg.fx * xc[:, 0] / xc[:, 2] + cfg.cx,
+        cfg.fy * xc[:, 1] / xc[:, 2] + cfg.cy,
+    ], -1) + jnp.asarray(rng.normal(0, 0.5, (N, 2)), jnp.float32)
+    ur = uv[:, 0] - cfg.bf / xc[:, 2]
+    inv_s2 = jnp.ones((N,), jnp.float32)
+    valid = jnp.ones((N,), bool)
+    pose0 = jnp.asarray([1, 0, 0, 0, 0.01, -0.01, 0.02], jnp.float32)
+    po = jax.jit(lambda p: pose_optimize(
+        p, pts, uv, ur, inv_s2, valid, tracker.cam))
+    t = _stage(po, pose0, rt=rt)
+    # 40 sequential LM steps on N obs: residual+J+JtJ ~ 300 flops/obs/step
+    flops_p = 40.0 * N * 300
+    bytes_p = 40.0 * N * (3 + 2 + 1 + 1 + 6 * 3) * 4
+    rows.append(row("pose-LM(4x10)", t, bytes_p, flops_p,
+                    "40 sequential tiny steps: serialization-latency bound"))
+
+    # ---- 4. window BA (W=32 free+fixed, Q-point compaction) ----
+    lm = tracker.local_mapper
+    graph = tracker.graph
+    new_kf = tracker.ref_kf
+    free_list = [new_kf] + graph.covis_neighbors(new_kf, top_k=lm.window)
+    Wn = lm.BA_WINDOW
+    win_idx = np.full(Wn, K, np.int32)
+    win_free = np.zeros(Wn, bool)
+    win_valid = np.zeros(Wn, bool)
+    n_f = min(len(free_list), Wn - 1)
+    win_idx[:n_f] = free_list[:n_f]
+    win_free[:n_f] = True
+    win_valid[:n_f] = True
+    rows_np = graph.kf_row[[int(k) for k in win_idx[:n_f]]]
+    pts_u = np.unique(rows_np[rows_np >= 0]).astype(np.int64)
+    Q = next((b for b in lm.BA_POINT_BUCKETS if len(pts_u) < b),
+             lm.BA_POINT_BUCKETS[-1])
+    lut = np.full(P, Q - 1, np.int32)
+    lut[pts_u[:Q - 1]] = np.arange(len(pts_u[:Q - 1]), dtype=np.int32)
+    pts_local = np.full(Q, P, np.int32)
+    pts_local[:len(pts_u[:Q - 1])] = pts_u[:Q - 1]
+    ba = lambda m: lm._ba(m, jnp.asarray(win_idx), jnp.asarray(win_free),
+                          jnp.asarray(win_valid), jnp.asarray(lut),
+                          jnp.asarray(pts_local))
+    t = _stage(ba, tracker.map, reps=5, rt=rt)
+    # 6 LM iters: per iter ~ W*N obs Jacobians (~250 flops) + T-scatter to
+    # [Q,18] + dense Schur form/solve [192^3/3]
+    obs = Wn * N
+    flops_ba = 6 * (obs * 250 + obs * 18 * 2 + 192 ** 3 / 3 + Q * 120)
+    bytes_ba = 6 * (obs * (2 + 1 + 1 + 8) * 4 + Q * 18 * 4 * 3 +
+                    obs * 18 * 4 * 2)
+    rows.append(row(f"window-BA(Q={Q})", t, bytes_ba, flops_ba,
+                    "dense-Schur LM: scatter/segment-sum passes"))
+
+    print(
+        "\n[roofline] extract & BA are VPU/scatter-pass kernels (low "
+        "arithmetic intensity,\n    many small fused passes) — their bound "
+        "is HBM bytes, approached within ~2-5x;\n    the whole-map matcher "
+        "rides the MXU with its i32 output matrix pushing it\n    toward "
+        "the HBM roof; pose-LM is bound by 40 sequential dependent steps "
+        "\n    (latency), not by either roof — batching the two passes is "
+        "the known lever.",
+    )
+    import json
+    print(json.dumps(rows))
+
+
+if __name__ == "__main__":
+    main()

@@ -240,6 +240,204 @@ def export_tum_sequence(out_dir: str, scene: "SyntheticScene",
     return out_dir
 
 
+def _np_rot_to_quat(R: np.ndarray) -> np.ndarray:
+    """Rotation matrix -> quaternion [w,x,y,z] (numpy, host-side)."""
+    R = np.asarray(R, np.float64)
+    tr = np.trace(R)
+    if tr > 0:
+        s = np.sqrt(tr + 1.0) * 2
+        q = np.array([0.25 * s, (R[2, 1] - R[1, 2]) / s,
+                      (R[0, 2] - R[2, 0]) / s, (R[1, 0] - R[0, 1]) / s])
+    else:
+        i = int(np.argmax(np.diag(R)))
+        j, k = (i + 1) % 3, (i + 2) % 3
+        s = np.sqrt(1.0 + R[i, i] - R[j, j] - R[k, k]) * 2
+        q = np.zeros(4)
+        q[0] = (R[k, j] - R[j, k]) / s
+        q[1 + i] = 0.25 * s
+        q[1 + j] = (R[j, i] + R[i, j]) / s
+        q[1 + k] = (R[k, i] + R[i, k]) / s
+    return (q / np.linalg.norm(q)).astype(np.float32)
+
+
+def export_kitti_sequence(out_dir: str, scene: "SyntheticScene",
+                          poses_cw: np.ndarray, fps: float = 10.0) -> str:
+    """Write a rendered stereo sequence in the KITTI odometry on-disk layout.
+
+    Produces `image_0/%06d.png`, `image_1/%06d.png` (8-bit gray), and
+    `times.txt` — the files `stereo_kitti.cc` consumes
+    (`/root/reference/Examples/Stereo/stereo_kitti.cc`). Also writes
+    `poses_gt.txt` in the KITTI ground-truth format (3x4 row-major Twc per
+    line, the devkit convention and `SaveTrajectoryKITTI`'s output format,
+    `src/System.cc:790-843`) so the driver's saved trajectory can be scored
+    frame-by-frame. Returns out_dir."""
+    import cv2
+
+    os.makedirs(os.path.join(out_dir, "image_0"), exist_ok=True)
+    os.makedirs(os.path.join(out_dir, "image_1"), exist_ok=True)
+    times, gt_rows = [], []
+    for i, pose in enumerate(poses_cw):
+        left, right, _ = scene.render_stereo(pose)
+        cv2.imwrite(os.path.join(out_dir, "image_0", f"{i:06d}.png"),
+                    np.clip(left, 0, 255).astype(np.uint8))
+        cv2.imwrite(os.path.join(out_dir, "image_1", f"{i:06d}.png"),
+                    np.clip(right, 0, 255).astype(np.uint8))
+        times.append(f"{i / fps:.6e}")
+        wc = _np_pose_inverse(pose)
+        q, t = wc[0:4], wc[4:7]
+        qw, qx, qy, qz = q
+        R = np.array([
+            [1 - 2 * (qy * qy + qz * qz), 2 * (qx * qy - qw * qz), 2 * (qx * qz + qw * qy)],
+            [2 * (qx * qy + qw * qz), 1 - 2 * (qx * qx + qz * qz), 2 * (qy * qz - qw * qx)],
+            [2 * (qx * qz - qw * qy), 2 * (qy * qz + qw * qx), 1 - 2 * (qx * qx + qy * qy)],
+        ])
+        row = np.concatenate([R, t.reshape(3, 1)], axis=1).reshape(-1)
+        gt_rows.append(" ".join(f"{v:.9e}" for v in row))
+    with open(os.path.join(out_dir, "times.txt"), "w") as f:
+        f.write("\n".join(times) + "\n")
+    with open(os.path.join(out_dir, "poses_gt.txt"), "w") as f:
+        f.write("\n".join(gt_rows) + "\n")
+    return out_dir
+
+
+def make_euroc_rig(width=320, height=240, fx_rect=260.0, baseline=0.08):
+    """A synthetic EuRoC-style stereo rig: two RAW cameras with distinct
+    intrinsics, mild radial-tangential distortion, and small rectifying
+    rotations, plus the LEFT./RIGHT. K,D,R,P rectification blocks that map
+    them onto a common rectified pinhole pair (the fixture format of
+    `/root/reference/Examples/Stereo/stereo_euroc.cc:61-107` /
+    `EuRoC.yaml`). Raw FOVs are slightly wider than the rectified FOV so
+    the remap stays inside the raw images."""
+
+    def rot_yz(deg_y, deg_z):
+        ay, az = np.deg2rad(deg_y), np.deg2rad(deg_z)
+        Ry = np.array([[np.cos(ay), 0, np.sin(ay)], [0, 1, 0],
+                       [-np.sin(ay), 0, np.cos(ay)]])
+        Rz = np.array([[np.cos(az), -np.sin(az), 0],
+                       [np.sin(az), np.cos(az), 0], [0, 0, 1]])
+        return (Rz @ Ry).astype(np.float64)
+
+    cx, cy = width / 2.0, height / 2.0
+    K_l = np.array([[fx_rect * 0.94, 0, cx - 3.0],
+                    [0, fx_rect * 0.95, cy + 2.0], [0, 0, 1]])
+    K_r = np.array([[fx_rect * 0.95, 0, cx + 2.5],
+                    [0, fx_rect * 0.94, cy - 1.5], [0, 0, 1]])
+    D_l = np.array([-0.02, 0.004, 0.0003, -0.0002, 0.0])
+    D_r = np.array([-0.018, 0.003, -0.0002, 0.0003, 0.0])
+    R_l = rot_yz(0.5, 0.35)
+    R_r = rot_yz(-0.45, -0.3)
+    P_l = np.array([[fx_rect, 0, cx, 0], [0, fx_rect, cy, 0], [0, 0, 1, 0]])
+    P_r = P_l.copy()
+    P_r[0, 3] = -fx_rect * baseline
+    return {
+        "width": width, "height": height, "baseline": baseline,
+        "fx_rect": fx_rect, "cx": cx, "cy": cy,
+        "K_l": K_l, "K_r": K_r, "D_l": D_l, "D_r": D_r,
+        "R_l": R_l, "R_r": R_r, "P_l": P_l, "P_r": P_r,
+    }
+
+
+def euroc_settings_yaml(rig, n_features=600, n_levels=4,
+                        th_depth=35.0) -> str:
+    """Reference-format stereo settings YAML (EuRoC.yaml analog) with the
+    LEFT./RIGHT. rectification blocks for this rig."""
+
+    def mat(m):
+        m = np.asarray(m, np.float64)
+        rows, cols = (m.shape[0], m.shape[1]) if m.ndim == 2 else (1, m.size)
+        data = ", ".join(f"{v:.12g}" for v in m.reshape(-1))
+        return (f"!!opencv-matrix\n   rows: {rows}\n   cols: {cols}\n"
+                f"   dt: d\n   data: [{data}]")
+
+    fx, cx, cy = rig["fx_rect"], rig["cx"], rig["cy"]
+    lines = [
+        "%YAML:1.0",
+        f"Camera.fx: {fx}", f"Camera.fy: {fx}",
+        f"Camera.cx: {cx}", f"Camera.cy: {cy}",
+        "Camera.k1: 0.0", "Camera.k2: 0.0",
+        "Camera.p1: 0.0", "Camera.p2: 0.0",
+        f"Camera.width: {rig['width']}", f"Camera.height: {rig['height']}",
+        "Camera.fps: 20.0",
+        f"Camera.bf: {fx * rig['baseline']}",
+        "Camera.RGB: 1",
+        f"ThDepth: {th_depth}",
+        f"ORBextractor.nFeatures: {n_features}",
+        "ORBextractor.scaleFactor: 1.2",
+        f"ORBextractor.nLevels: {n_levels}",
+        "ORBextractor.iniThFAST: 20",
+        "ORBextractor.minThFAST: 7",
+        f"LEFT.width: {rig['width']}", f"LEFT.height: {rig['height']}",
+        f"RIGHT.width: {rig['width']}", f"RIGHT.height: {rig['height']}",
+    ]
+    for side, kk in (("LEFT", "l"), ("RIGHT", "r")):
+        for name in ("K", "D", "R", "P"):
+            lines.append(f"{side}.{name}: {mat(rig[f'{name}_{kk}'])}")
+    return "\n".join(lines) + "\n"
+
+
+def export_euroc_sequence(out_dir: str, planes, poses_cw: np.ndarray,
+                          rig=None, fps: float = 20.0,
+                          t0_ns: int = 1403636579763555584) -> str:
+    """Write a rendered stereo sequence in the EuRoC MAV on-disk layout.
+
+    Produces `mav0/cam0/data/<ns>.png`, `mav0/cam1/data/<ns>.png` (RAW
+    distorted/rotated camera images — rectification is the DRIVER's job,
+    through the LEFT./RIGHT. blocks, exactly like
+    `stereo_euroc.cc:61-107`), a `timestamps.txt` (nanosecond stamps, the
+    format the reference's EuRoC timestamp files use), and
+    `groundtruth_tum.txt` (TUM-format, for scoring). Returns out_dir."""
+    import cv2
+
+    if rig is None:
+        rig = make_euroc_rig()
+    os.makedirs(os.path.join(out_dir, "mav0", "cam0", "data"), exist_ok=True)
+    os.makedirs(os.path.join(out_dir, "mav0", "cam1", "data"), exist_ok=True)
+
+    # raw cameras: rectified pose composed with the INVERSE rectifying
+    # rotation (cv2.initUndistortRectifyMap maps rect rays through R^-1 into
+    # the raw frame), rendered through (K, D) lenses
+    def raw_scene(K, D):
+        return SyntheticScene(
+            width=rig["width"], height=rig["height"],
+            fx=float(K[0, 0]), fy=float(K[1, 1]),
+            cx=float(K[0, 2]), cy=float(K[1, 2]),
+            dist_coeffs=tuple(float(x) for x in D),
+            planes=planes,
+        )
+
+    scene_l = raw_scene(rig["K_l"], rig["D_l"])
+    scene_r = raw_scene(rig["K_r"], rig["D_r"])
+    rot_l = np.concatenate(
+        [_np_rot_to_quat(rig["R_l"].T), np.zeros(3, np.float32)])
+    rot_r = np.concatenate(
+        [_np_rot_to_quat(rig["R_r"].T), np.zeros(3, np.float32)])
+    shift = np.array([1, 0, 0, 0, -rig["baseline"], 0, 0], np.float32)
+
+    stamps, gt_lines = [], []
+    for i, pose in enumerate(poses_cw):
+        ns = t0_ns + int(round(i * 1e9 / fps))
+        pose = np.asarray(pose, np.float32)
+        pose_l = _np_pose_compose(rot_l, pose)
+        pose_r = _np_pose_compose(rot_r, _np_pose_compose(shift, pose))
+        img_l, _ = scene_l.render(pose_l)
+        img_r, _ = scene_r.render(pose_r)
+        cv2.imwrite(os.path.join(out_dir, "mav0", "cam0", "data", f"{ns}.png"),
+                    np.clip(img_l, 0, 255).astype(np.uint8))
+        cv2.imwrite(os.path.join(out_dir, "mav0", "cam1", "data", f"{ns}.png"),
+                    np.clip(img_r, 0, 255).astype(np.uint8))
+        stamps.append(str(ns))
+        wc = _np_pose_inverse(pose)
+        qw, qx, qy, qz, tx, ty, tz = wc
+        gt_lines.append(f"{ns / 1e9:.6f} {tx:.6f} {ty:.6f} {tz:.6f} "
+                        f"{qx:.6f} {qy:.6f} {qz:.6f} {qw:.6f}")
+    with open(os.path.join(out_dir, "timestamps.txt"), "w") as f:
+        f.write("\n".join(stamps) + "\n")
+    with open(os.path.join(out_dir, "groundtruth_tum.txt"), "w") as f:
+        f.write("# synthetic EuRoC-layout export\n# timestamp data\n")
+        f.write("\n".join(gt_lines) + "\n")
+    return out_dir
+
+
 def orbit_trajectory(n_frames: int, radius=0.8, z_amp=0.3, yaw_amp=0.25):
     """Smooth looping trajectory inside the room: lateral orbit + yaw sweep.
 

@@ -265,8 +265,12 @@ class NativeMapGraph:
         self.young_pts.append((int(pt), sq))
 
     def young_points(self, cur_seq: int, max_age: int):
+        # graph-level prune horizon shared by all culling rules (ADVICE r3)
         keep, out, seen = [], [], set()
-        horizon = max(max_age + 2, 6)
+        self.young_horizon = max(
+            getattr(self, "young_horizon", 6), max_age + 2
+        )
+        horizon = self.young_horizon
         for pt, sq in self.young_pts:
             if cur_seq - sq > horizon or not self.pt_alive[pt]:
                 continue

@@ -93,7 +93,7 @@ class LoopCloser:
         host state, so it overlaps the keyframe-insert readback instead of
         paying its own ~30 ms tunnel round trip."""
         v = self.add_keyframe_bow(m, kf)
-        s_dev, cw_dev = self.db._scores2(self.db.bow, v, self.db.idf)
+        s_dev, cw_dev = self.db.score_query(v)
         return (kf, fetch(s_dev), fetch(cw_dev))
 
     def resolve_detection(self, graph: MapGraph, kf: int, pending) -> Optional[int]:

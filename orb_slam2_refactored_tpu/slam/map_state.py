@@ -339,9 +339,17 @@ class MapGraph:
 
     def young_points(self, cur_seq: int, max_age: int):
         """Points created within `max_age` keyframe creations of `cur_seq`
-        (deduped, alive only); prunes entries too old for any caller."""
+        (deduped, alive only); prunes entries too old for any caller.
+
+        The prune horizon is GRAPH-level (the largest trial window any
+        caller has ever requested, floor 6): two culling rules share this
+        list, and pruning with one caller's smaller window would silently
+        truncate the other's trial period (ADVICE r3)."""
         keep, out, seen = [], [], set()
-        horizon = max(max_age + 2, 6)
+        self.young_horizon = max(
+            getattr(self, "young_horizon", 6), max_age + 2
+        )
+        horizon = self.young_horizon
         for pt, sq in self.young_pts:
             if cur_seq - sq > horizon or not self.pt_alive[pt]:
                 continue

@@ -71,7 +71,8 @@ def save_map(tracker: Tracker, path: str):
         voc_arrays = {
             "voc_words": np.asarray(lc.db.voc.words),
             "voc_idf": np.asarray(lc.db.voc.idf),
-            "voc_bow": np.asarray(lc.db.bow),
+            "voc_bow_ids": np.asarray(lc.db.bow_ids),  # sparse rows
+            "voc_bow_cnt": np.asarray(lc.db.bow_cnt),
             "voc_db_idf": np.asarray(lc.db.idf),  # live-refit idf state
             "voc_active": lc.db.active,
             "voc_fix_scale": np.int64(lc.fix_scale),
@@ -97,6 +98,15 @@ def save_map(tracker: Tracker, path: str):
         graph_kf_seq=np.asarray(g.kf_seq, np.int64),
         graph_kf_quarantine=np.asarray(
             [(k, st) for k, st in g.kf_quarantine], np.int64
+        ).reshape(-1, 2),
+        # young-point trial windows + point-slot quarantine: without these a
+        # loaded map would skip min-obs culling for in-trial points and lose
+        # slot-recycling aging state (ADVICE r3)
+        graph_young_pts=np.asarray(
+            [(p, sq) for p, sq in g.young_pts], np.int64
+        ).reshape(-1, 2),
+        graph_pt_quarantine=np.asarray(
+            [(p, st) for p, st in g.pt_quarantine], np.int64
         ).reshape(-1, 2),
         graph_next_point=np.int64(g.next_point),
         graph_watermark=np.asarray(g.kf_watermark, np.int64),
@@ -126,6 +136,11 @@ def load_map(tracker: Tracker, path: str):
         g.kf_seq[: g.num_kfs] = np.arange(g.num_kfs)
     if "graph_kf_quarantine" in z.files:
         g.kf_quarantine = [(int(a), int(b)) for a, b in z["graph_kf_quarantine"]]
+    if "graph_young_pts" in z.files:
+        g.young_pts = [(int(p), int(sq)) for p, sq in z["graph_young_pts"]]
+    if "graph_pt_quarantine" in z.files:
+        g.pt_quarantine = [(int(p), int(st))
+                           for p, st in z["graph_pt_quarantine"]]
     g.next_point = int(z["graph_next_point"])
     g.origin_kf = int(z["graph_origin"])
     if "graph_watermark" in z.files:
@@ -173,7 +188,19 @@ def load_map(tracker: Tracker, path: str):
             tracker.cfg.n_levels, tracker.cfg.scale_factor,
             fix_scale=bool(z["voc_fix_scale"]),
         )
-        lc.db.bow = jnp.asarray(z["voc_bow"])
+        if "voc_bow_ids" in z.files:  # sparse rows (current format)
+            lc.db.bow_ids = jnp.asarray(z["voc_bow_ids"])
+            lc.db.bow_cnt = jnp.asarray(z["voc_bow_cnt"])
+        else:  # legacy dense [KF, W] checkpoint: convert to sparse rows
+            dense = np.asarray(z["voc_bow"])
+            T = lc.db.row_capacity
+            W = dense.shape[1]
+            ids = np.argsort(-dense, axis=1)[:, :T].astype(np.int32)
+            cnt = np.take_along_axis(dense, ids, axis=1).astype(np.float32)
+            ids[cnt <= 0] = W
+            cnt[cnt <= 0] = 0.0
+            lc.db.bow_ids = jnp.asarray(ids)
+            lc.db.bow_cnt = jnp.asarray(cnt)
         lc.db.active = z["voc_active"].copy()
         if "voc_db_idf" in z.files:
             lc.db.idf = jnp.asarray(z["voc_db_idf"])

@@ -116,10 +116,78 @@ def load_dbow2_text(path: str, max_words: Optional[int] = None) -> Vocabulary:
     return Vocabulary(words=jnp.asarray(w), idf=jnp.asarray(idf))
 
 
+_POPCNT8 = np.array([bin(i).count("1") for i in range(256)], np.uint8)
+
+
+def _host_hamming(a_bytes: np.ndarray, b_bytes: np.ndarray) -> np.ndarray:
+    """u8[M,32] x u8[N,32] -> i32[M,N] Hamming distances (host numpy —
+    tree building is an offline export, not a device path)."""
+    x = np.bitwise_xor(a_bytes[:, None, :], b_bytes[None, :, :])
+    return _POPCNT8[x].sum(-1, dtype=np.int32)
+
+
+def save_dbow2_tree(voc: Vocabulary, path: str, k: int = 10,
+                    iters: int = 4, seed: int = 0):
+    """Write the vocabulary as a PROPER hierarchical k-ary tree in the
+    DBoW2 text schema (`TemplatedVocabulary::saveToTextFile` format:
+    header `k L scoring weighting`, then one node per line
+    `parent is_leaf b0..b31 weight`, ids implicit in write order, root
+    omitted) — loadable by EXTERNAL DBoW2 readers that expect a k=10/L=5
+    style tree, unlike `save_dbow2_text`'s flat form.
+
+    The engine itself never uses the tree (transform is brute-force leaf
+    argmin — exact, MXU-friendly); the tree here is synthesized OVER the
+    existing leaf words by recursive k-majority clustering, so every leaf
+    carries the original word descriptor + idf weight and an external
+    DBoW2 traversal bottoms out on the same word set (its greedy descent
+    is approximate by design, as in stock DBoW2)."""
+    words = np.asarray(voc.words).view(np.uint8).reshape(voc.n_words, 32)
+    idf = np.asarray(voc.idf)
+    rng = np.random.default_rng(seed)
+    # rows: (parent_id, is_leaf, bytes[32], weight), ids = write order (1-based)
+    rows: list = []
+    depth_max = [1]
+
+    def cluster(indices: np.ndarray, parent: int, depth: int):
+        depth_max[0] = max(depth_max[0], depth)
+        if len(indices) <= k:
+            for i in indices:
+                rows.append((parent, 1, words[i], float(idf[i])))
+            return
+        cents = words[rng.choice(indices, k, replace=False)].copy()
+        sub = indices if len(indices) <= 4096 else rng.choice(
+            indices, 4096, replace=False)
+        for _ in range(iters):
+            a = np.argmin(_host_hamming(words[sub], cents), axis=1)
+            for c in range(k):
+                sel = sub[a == c]
+                if len(sel):
+                    bits = np.unpackbits(words[sel], axis=-1)
+                    cents[c] = np.packbits(
+                        (bits.sum(0) * 2 >= len(sel)).astype(np.uint8))
+        a = np.argmin(_host_hamming(words[indices], cents), axis=1)
+        for c in range(k):
+            sel = indices[a == c]
+            if len(sel) == 0:
+                continue
+            rows.append((parent, 0, cents[c], 0.0))
+            cluster(sel, len(rows), depth + 1)
+
+    cluster(np.arange(voc.n_words), 0, 1)
+    L = depth_max[0]
+    with open(path, "w") as f:
+        f.write(f"{k} {L} 0 0\n")  # L1_NORM scoring, TF_IDF weighting
+        for parent, leaf, b, w in rows:
+            byte_str = " ".join(str(int(x)) for x in b)
+            f.write(f"{parent} {leaf} {byte_str} {w:.6f}\n")
+
+
 def save_dbow2_text(voc: Vocabulary, path: str):
     """Write a flat (depth-1) vocabulary in the DBoW2 text schema so it can
-    round-trip through `load_dbow2_text` (and external DBoW2 readers that
-    accept k = n_words, L = 1)."""
+    round-trip through `load_dbow2_text` EXACTLY (leaf order preserved).
+    NOTE: external DBoW2 readers expecting a k=10/L=5 tree should use
+    `save_dbow2_tree` instead — this flat form declares k=n_words, L=1,
+    which stock DBoW2 parses but descends in one giant fan-out."""
     words = np.asarray(voc.words).view(np.uint8).reshape(voc.n_words, 32)
     idf = np.asarray(voc.idf)
     with open(path, "w") as f:
@@ -179,63 +247,111 @@ def l1_similarity(a, b):
 
 
 class KeyFrameDatabase:
-    """Dense-matrix place recognition index over keyframe word-count rows.
+    """Sparse-row place recognition index over keyframe words.
 
-    Rows store RAW tf counts [KF_cap, W]; the idf weighting and L1
-    normalization apply inside the scoring matvec, so `refit_idf` retunes
-    the index to the live corpus without recomputing stored rows (the
-    reference bakes idf at vocabulary-training time,
+    A keyframe observes at most n_features distinct words, so each row
+    stores (word_ids i32[T], counts f32[T]) instead of a dense [W] vector —
+    the TPU-native form of DBoW2's inverted file
+    (`/root/reference/src/KeyFrameDatabase.cc:39-66`): at the reference's
+    shipped ORBvoc scale (W~1M words, `build.sh:22-24`) a dense
+    [KF_cap, W] matrix would be ~2 GB HBM at KF_cap=512, while sparse rows
+    are ~8 MB. Scoring stays EXACT: the query scatters into one transient
+    dense [W] vector (4 MB) and every row gathers its own words from it —
+    the weighted-L1 `2*sum_w min(a_w, b_w)` only has support on the row's
+    stored words.
+
+    idf weighting and L1 normalization apply inside the scoring program, so
+    `refit_idf` retunes the index to the live corpus without recomputing
+    stored rows (the reference bakes idf at vocabulary-training time,
     `Thirdparty/DBoW2/DBoW2/TemplatedVocabulary.h`; a live-trained
     vocabulary must refit as keyframes arrive).
     """
 
-    def __init__(self, voc: Vocabulary, kf_capacity: int):
+    def __init__(self, voc: Vocabulary, kf_capacity: int,
+                 row_capacity: int = 1024):
         self.voc = voc
-        self.bow = jnp.zeros((kf_capacity, voc.n_words), jnp.float32)  # counts
+        W = voc.n_words
+        T = min(row_capacity, W)
+        self.row_capacity = T
+        # sparse rows: padding id = W (weight 0 in every program)
+        self.bow_ids = jnp.full((kf_capacity, T), W, jnp.int32)
+        self.bow_cnt = jnp.zeros((kf_capacity, T), jnp.float32)
         self.active = np.zeros(kf_capacity, bool)
         self.idf = jnp.asarray(voc.idf)
-        self._count = jax.jit(lambda d, v: word_counts(self.voc, d, v))
 
-        def scores_fn(mat, q, idf):
-            wk = mat * idf[None, :]
-            wk = wk / jnp.maximum(wk.sum(-1, keepdims=True), 1e-9)
-            wq = q * idf
-            wq = wq / jnp.maximum(wq.sum(), 1e-9)
-            sim = 2.0 * jnp.sum(jnp.minimum(wk, wq[None, :]), axis=-1)
-            common = jnp.sum(((mat > 0) & (q > 0)[None, :]).astype(jnp.int32), -1)
+        def count_fn(d, v):
+            counts, word = word_counts(self.voc, d, v)
+            cnt, ids = jax.lax.top_k(counts, T)  # all nonzero words fit in T
+            ids = jnp.where(cnt > 0, ids, W).astype(jnp.int32)
+            return ids, cnt, word
+
+        self._count = jax.jit(count_fn)
+
+        def scores_fn(row_ids, row_cnt, q_ids, q_cnt, idf):
+            # query -> transient dense tf-idf vector, L1-normalized
+            safe_q = jnp.clip(q_ids, 0, W - 1)
+            q_w = jnp.where(q_ids < W, q_cnt * idf[safe_q], 0.0)
+            wq = jnp.zeros((W,), jnp.float32).at[q_ids].add(
+                q_w / jnp.maximum(q_w.sum(), 1e-9), mode="drop"
+            )
+            # rows: per-entry tf-idf weight, row-normalized
+            safe = jnp.clip(row_ids, 0, W - 1)
+            ok = row_ids < W
+            r_w = jnp.where(ok, row_cnt * idf[safe], 0.0)
+            r_w = r_w / jnp.maximum(r_w.sum(-1, keepdims=True), 1e-9)
+            q_at = jnp.where(ok, wq[safe], 0.0)
+            sim = 2.0 * jnp.sum(jnp.minimum(r_w, q_at), axis=-1)
+            q_has = jnp.zeros((W,), bool).at[q_ids].max(
+                q_cnt > 0, mode="drop")
+            common = jnp.sum(
+                (ok & (row_cnt > 0) & q_has[safe]).astype(jnp.int32), -1)
             return sim, common
 
         self._scores2 = jax.jit(scores_fn)
-        self._refit = jax.jit(
-            lambda mat, act: jnp.log(
-                jnp.maximum(act.sum(), 1.0)
-                / (1.0 + jnp.sum(((mat > 0) & act[:, None]).astype(jnp.float32), 0))
+
+        def refit_fn(row_ids, row_cnt, act):
+            df = jnp.zeros((W,), jnp.float32).at[row_ids].add(
+                ((row_cnt > 0) & act[:, None]).astype(jnp.float32),
+                mode="drop",
             )
-        )
+            return jnp.log(jnp.maximum(act.sum(), 1.0) / (1.0 + df))
+
+        self._refit = jax.jit(refit_fn)
 
     def compute_bow(self, desc, valid):
-        """-> (word-count vector f32[W], per-feature word ids)."""
-        return self._count(desc, valid)
+        """-> (sparse row (ids i32[T], counts f32[T]), per-feature word ids)."""
+        ids, cnt, word = self._count(desc, valid)
+        return (ids, cnt), word
 
     def add(self, kf: int, bow_vec):
-        self.bow = self.bow.at[kf].set(bow_vec)
+        ids, cnt = bow_vec
+        self.bow_ids = self.bow_ids.at[kf].set(ids)
+        self.bow_cnt = self.bow_cnt.at[kf].set(cnt)
         self.active[kf] = True
 
     def erase(self, kf: int):
-        self.bow = self.bow.at[kf].set(0.0)
+        self.bow_ids = self.bow_ids.at[kf].set(self.voc.n_words)
+        self.bow_cnt = self.bow_cnt.at[kf].set(0.0)
         self.active[kf] = False
 
     def clear(self):
-        self.bow = jnp.zeros_like(self.bow)
+        self.bow_ids = jnp.full_like(self.bow_ids, self.voc.n_words)
+        self.bow_cnt = jnp.zeros_like(self.bow_cnt)
         self.active[:] = False
 
     def refit_idf(self):
         """Refit idf to the indexed corpus: idf_w = log(N / (1 + df_w))."""
-        idf = self._refit(self.bow, jnp.asarray(self.active))
+        idf = self._refit(self.bow_ids, self.bow_cnt,
+                          jnp.asarray(self.active))
         self.idf = jnp.maximum(idf, 0.0)
 
+    def score_query(self, bow_vec):
+        """Device-side (scores, common-words) of a sparse query vs all rows."""
+        ids, cnt = bow_vec
+        return self._scores2(self.bow_ids, self.bow_cnt, ids, cnt, self.idf)
+
     def _score_common(self, query_vec):
-        s, cw = self._scores2(self.bow, query_vec, self.idf)
+        s, cw = self.score_query(query_vec)
         s = np.array(s)
         cw = np.array(cw)
         s[~self.active] = -1.0

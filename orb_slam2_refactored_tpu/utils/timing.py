@@ -17,6 +17,7 @@ from typing import Dict, List
 class StageTimer:
     def __init__(self):
         self.samples: Dict[str, List[float]] = defaultdict(list)
+        self.paused = False  # drop samples (e.g. warmup/re-warm segments)
 
     @contextmanager
     def time(self, stage: str):
@@ -24,7 +25,8 @@ class StageTimer:
         try:
             yield
         finally:
-            self.samples[stage].append(time.perf_counter() - t0)
+            if not self.paused:
+                self.samples[stage].append(time.perf_counter() - t0)
 
     def report(self) -> str:
         lines = []

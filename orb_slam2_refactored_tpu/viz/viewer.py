@@ -63,13 +63,27 @@ class LiveViewer:
     # -- render loop -------------------------------------------------------
 
     def _run(self):
+        failures = 0
         while not self._stop.wait(self.period):
             try:
                 self._render_once()
-            except Exception:
+                failures = 0
+            except Exception as e:
                 # a torn snapshot mid-keyframe must never kill the viewer
                 # (the reference viewer holds mutexes instead; the
-                # functional arrays make retries safe)
+                # functional arrays make retries safe) — but a PERSISTENT
+                # failure (e.g. matplotlib missing) must be diagnosable,
+                # not a silent forever-loop (ADVICE r3)
+                failures += 1
+                if failures in (1, 10):
+                    import sys
+                    import traceback
+
+                    print(f"[live-viewer] render failed "
+                          f"({failures} consecutive): {e!r}",
+                          file=sys.stderr)
+                    if failures == 10:
+                        traceback.print_exc()
                 continue
 
     def _render_once(self):
