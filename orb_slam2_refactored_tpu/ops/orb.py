@@ -217,19 +217,25 @@ def pattern_fits_window(pattern: str) -> bool:
 
 
 @functools.lru_cache(maxsize=2)
-def diff_tables(pattern: str) -> np.ndarray:
-    """int8[B,961,256] steered-BRIEF difference matrices.
+def diff_tables(pattern: str) -> Tuple[np.ndarray, int]:
+    """(int8[B,S*S,256], support) steered-BRIEF difference matrices.
 
     For angle bin b, column i holds +1 at the rotated pattern point A and -1
-    at point B (flattened 31x31 window coords), so
+    at point B (flattened SxS window coords), so
     `sign(window_flat @ D[b]) == (sample_A < sample_B)` — the BRIEF test as
     ONE MXU contraction instead of 512 scalar gathers per keypoint. The
     rotation is quantized to B bins (the continuous path rounds rotated
     offsets to integers anyway, the same 0.5px scale as a 5.6 deg bin at
-    radius 13)."""
+    radius 13).
+
+    The window is trimmed to the pattern's exact rotated support S=2*sup+1
+    (27x27 for the radius-13 fresh pattern): the [K,S^2,256] table gather
+    dominates the descriptor stage's HBM bytes, so dropping the 31x31
+    window's guaranteed-zero border rows is a free ~25% cut."""
     pat = get_pattern(pattern)
     B = N_ANGLE_BINS
-    D = np.zeros((B, 961, 256), np.int8)
+    taps = []  # (bin, ry, rx, col, sign)
+    sup = 0
     for b in range(B):
         th = (b + 0.5) * 2 * np.pi / B - np.pi
         c, s = np.cos(th), np.sin(th)
@@ -238,8 +244,14 @@ def diff_tables(pattern: str) -> np.ndarray:
                 x, y = pat[i, j]
                 rx = int(round(x * c - y * s))
                 ry = int(round(x * s + y * c))
-                D[b, (ry + HALF_PATCH) * PATCH_SIZE + (rx + HALF_PATCH), i] += sign
-    return D
+                sup = max(sup, abs(rx), abs(ry))
+                taps.append((b, ry, rx, i, sign))
+    sup = min(sup, HALF_PATCH)
+    S = 2 * sup + 1
+    D = np.zeros((B, S * S, 256), np.int8)
+    for b, ry, rx, i, sign in taps:
+        D[b, (ry + sup) * S + (rx + sup), i] += sign
+    return D, sup
 
 
 def _pack_bits(bits):
@@ -265,7 +277,14 @@ def brief_descriptors_mxu(blurred, ys, xs, angles, pattern: str = "fresh"):
 
 
 def _brief_from_windows(win, angles, pattern: str):
-    D = jnp.asarray(diff_tables(pattern))  # int8[B,961,256] (HLO constant)
+    D_np, sup = diff_tables(pattern)
+    D = jnp.asarray(D_np)  # int8[B,S*S,256] (HLO constant)
+    S = 2 * sup + 1
+    if S < PATCH_SIZE:  # trim the window to the pattern's rotated support
+        lo, hi = HALF_PATCH - sup, HALF_PATCH + sup + 1
+        win = win.reshape(-1, PATCH_SIZE, PATCH_SIZE)[
+            :, lo:hi, lo:hi
+        ].reshape(-1, S * S)
     B = N_ANGLE_BINS
     bin_ = jnp.floor((angles + np.pi) * (B / (2 * np.pi))).astype(jnp.int32) % B
     diffs = jnp.einsum(

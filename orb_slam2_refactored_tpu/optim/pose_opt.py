@@ -100,8 +100,8 @@ def _pose_optimize_f32(
         pose, inliers = carry
         use_huber = round_idx < 2  # reference drops the kernel for later rounds
 
-        def lm_iter(state, _):
-            pose, lam = state
+        def lm_iter(state):
+            pose, lam, it, _ = state
             r, J = jac_and_res(pose)
             chi2 = chi2_of(r)
             # Huber weight on residual norm (g2o RobustKernelHuber semantics)
@@ -128,10 +128,25 @@ def _pose_optimize_f32(
             improved = cost_new < cost_old
             pose_out = jnp.where(improved, new_pose, pose)
             lam_out = jnp.where(improved, lam * 0.5, lam * 4.0)
-            return (pose_out, jnp.clip(lam_out, 1e-8, 1e6)), None
+            # early exit (g2o's LM likewise terminates the iteration loop
+            # when the gain stalls, optimization_algorithm_levenberg.cpp):
+            # an accepted step with negligible relative cost gain, a
+            # sub-1e-5 tangent step, or a rejected step at max lambda
+            # cannot improve the pose meaningfully — the remaining
+            # iterations of the round would be no-ops, and each costs a
+            # full serial residual+Jacobian pass
+            step_inf = jnp.max(jnp.abs(delta))
+            rel_gain = (cost_old - cost_new) / jnp.maximum(cost_old, 1e-12)
+            done = (
+                (improved & ((rel_gain < 1e-5) | (step_inf < 1e-5)))
+                | (~improved & (lam >= 1e6))
+            )
+            return (pose_out, jnp.clip(lam_out, 1e-8, 1e6), it + 1, done)
 
-        (pose, _), _ = jax.lax.scan(
-            lm_iter, (pose, jnp.float32(1e-3)), None, length=iters_per_round
+        pose, _, _, _ = jax.lax.while_loop(
+            lambda st: (st[2] < iters_per_round) & ~st[3],
+            lm_iter,
+            (pose, jnp.float32(1e-3), jnp.int32(0), jnp.bool_(False)),
         )
         # re-classify ALL valid observations (outliers can return, :445-470)
         r, _ = jac_and_res(pose)

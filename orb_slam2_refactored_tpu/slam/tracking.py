@@ -135,6 +135,23 @@ class TrackerConfig:
             )
 
 
+class _RowFut:
+    """Future-shaped view of one row of a batched pack fetch (see
+    Tracker._flush_deferred_packs)."""
+
+    __slots__ = ("_fut", "_row")
+
+    def __init__(self, fut, row: int):
+        self._fut = fut
+        self._row = row
+
+    def done(self):
+        return self._fut.done()
+
+    def result(self):
+        return self._fut.result()[self._row]
+
+
 class _Resolved:
     """Future-shaped wrapper around an already-materialized value."""
 
@@ -867,6 +884,66 @@ class Tracker:
             timestamp,
         )
 
+    def prefetch_rgbd(self, imgs, depths):
+        """Pack + upload frames from a DEDICATED thread; returns one Future
+        per frame resolving to the device buffer for `track_rgbd_uploaded`.
+
+        Under link congestion `jnp.asarray` blocks the calling thread for
+        ~one RPC round trip regardless of payload size (measured: 288 KB
+        and 384 KB frames upload at the SAME rate — the cost is per-RPC
+        service time, not bytes), so a single upload stream caps ingest at
+        ~1/RT frames/s. A small pool issues several upload RPCs
+        concurrently, overlapping their service times with each other and
+        with device compute. The thread-shaped analog of the reference's
+        disk-ingest loop running ahead of Tracking (`mono_tum.cc:84-101`)."""
+        if not hasattr(self, "_upload_pool"):
+            import os as _os
+
+            n = int(_os.environ.get("TPU_SLAM_UPLOAD_THREADS", "4"))
+            self._upload_pool = ThreadPoolExecutor(n, "frame-upload")
+        return [
+            self._upload_pool.submit(
+                lambda i=i: jnp.asarray(self._pack_rgbd(imgs[i], depths[i]))
+            )
+            for i in range(len(imgs))
+        ]
+
+    def prefetch_rgbd_batches(self, imgs, depths, k: int):
+        """Like `prefetch_rgbd`, but packs k frames per transfer (one
+        future -> one [k, B] device buffer for `track_rgbd_batch`'s
+        `uploaded=`). The link's regimes want different granularities —
+        bandwidth-bound phases favor per-frame transfers (no head-of-line
+        blocking), congestion phases with fixed per-RPC service cost favor
+        pairs/quads (measured 60 -> 80 fps at k=2 in a congested phase) —
+        so the bench probes the live link and picks k per window."""
+        if not hasattr(self, "_upload_pool"):
+            self.prefetch_rgbd(imgs[:0], depths[:0])  # init pool only
+        futs = []
+        for s in range(0, len(imgs), k):
+            e = min(s + k, len(imgs))
+            futs.append(self._upload_pool.submit(
+                lambda s=s, e=e: jnp.asarray(np.stack([
+                    self._pack_rgbd(imgs[i], depths[i]) for i in range(s, e)
+                ]))
+            ))
+        return futs
+
+    def track_rgbd_uploaded(self, buf_dev, timestamp: float = 0.0):
+        """Track one RGB-D frame from an already-uploaded packed buffer
+        (see `prefetch_rgbd`). Identical programs/semantics to
+        `track_rgbd` — only the upload moved off-thread."""
+        return self._run_frame(
+            lambda: self._prepare_packed(buf_dev),
+            lambda: self._step_packed(
+                buf_dev,
+                self.last_frame, self.last_mp_dev, self.map,
+                self.pose_dev, self.velocity_dev, self._ref_kf_scalar(),
+                self.mp_vis_dev, self.mp_found_dev, self.local_mask_dev,
+                self.mp_seen_dev, self.fidx_dev,
+            ),
+            timestamp,
+        )
+
     def upload_rgbd_batch(self, imgs, depths):
         """Pack + upload k RGB-D frames as ONE host->device transfer.
 
@@ -897,20 +974,75 @@ class Tracker:
                 lambda b, i: jax.lax.dynamic_index_in_dim(
                     b, i, axis=0, keepdims=False)
             )
+        if not hasattr(self, "_step_from_batch"):
+            # slice fused INTO the step: one dispatch RPC per frame instead
+            # of two (each RPC pays a fixed service cost under congestion)
+            self._step_from_batch = jax.jit(
+                lambda b, i, *rest: self._step_impl(
+                    *self._unpack_impl(
+                        jax.lax.dynamic_index_in_dim(b, i, axis=0,
+                                                     keepdims=False)
+                    ),
+                    *rest,
+                )
+            )
+        # defer the per-frame scalar-pack fetches and issue ONE stacked
+        # fetch for the whole batch below (per-RPC service cost dominates
+        # the congested-link regime; safe while k <= pipeline depth, which
+        # keeps this batch's entries clear of the finalize horizon)
+        # opt-in (TPU_SLAM_DEFER_PACKS=1): measured neutral on the current
+        # link (batched fetch waits on the batch's LAST step, which offsets
+        # the saved per-RPC service), kept for links with higher per-RPC
+        # cost
+        import os as _os
+
+        defer = (self.cfg.pipelined
+                 and k <= max(int(self.cfg.pipeline_depth), 1)
+                 and bool(_os.environ.get("TPU_SLAM_DEFER_PACKS")))
         poses = []
         for i in range(k):
-            buf_i = self._slice_frame(batch, jnp.int32(i))
             poses.append(self._run_frame(
-                lambda buf=buf_i: self._prepare_packed(buf),
-                lambda buf=buf_i: self._step_packed(
-                    buf, self.last_frame, self.last_mp_dev, self.map,
+                lambda i=i: self._prepare_packed(
+                    self._slice_frame(batch, jnp.int32(i))),
+                lambda i=i: self._step_from_batch(
+                    batch, jnp.int32(i),
+                    self.last_frame, self.last_mp_dev, self.map,
                     self.pose_dev, self.velocity_dev, self._ref_kf_scalar(),
                     self.mp_vis_dev, self.mp_found_dev, self.local_mask_dev,
                     self.mp_seen_dev, self.fidx_dev,
                 ),
                 timestamps[i],
+                defer_fetch=defer,
             ))
+        if defer:
+            self._flush_deferred_packs()
         return poses
+
+    def _flush_deferred_packs(self):
+        """Stack every still-raw pack handle in the pipeline queue into one
+        device array and ONE worker fetch; patch the entries with row
+        futures. Self-healing: scans for raw handles, so partial batches
+        and loss-drained queues need no special cases."""
+        q = getattr(self, "_pending_q", None)
+        if not q:
+            return
+        raw_idx = [i for i, e in enumerate(q)
+                   if not hasattr(e[4], "result")]
+        if not raw_idx:
+            return
+        packs = [q[i][4] for i in raw_idx]
+        progs = getattr(self, "_stack_packs", None)
+        if progs is None:
+            progs = self._stack_packs = {}
+        kk = len(packs)
+        if kk not in progs:
+            progs[kk] = jax.jit(lambda *ps: jnp.stack(ps))
+        stacked = progs[kk](*packs)
+        stacked.copy_to_host_async()
+        fut = self._fetch_pool.submit(np.asarray, stacked)
+        for row, i in enumerate(raw_idx):
+            e = q[i]
+            q[i] = e[:4] + (_RowFut(fut, row),) + e[5:]
 
     def track_stereo(self, img_l: np.ndarray, img_r: np.ndarray,
                      timestamp: float = 0.0):
@@ -1118,23 +1250,34 @@ class Tracker:
             "lost": bool(lost),
         })
 
-    def _run_frame_pipelined(self, step_fn, timestamp: float):
+    def _run_frame_pipelined(self, step_fn, timestamp: float,
+                             defer_fetch: bool = False):
         with self.timer.time("track.dispatch"):
             cur = step_fn()
         (frame, pose_dev, vel_dev, feat_mp_dev, host_pack,
          self.mp_vis_dev, self.mp_found_dev,
          self.mp_seen_dev, self.fidx_dev) = cur
-        # request the scalar pack now: with pipeline_depth in-flight frames
-        # the transfer has crossed the tunnel (~30ms RT) by finalize time.
-        # (A worker-thread fetch here measurably CONTENDS with the dispatch
-        # RPCs on the tunnel connection — per-frame fetches stay on the main
-        # thread; only the chunky keyframe-stage reads go to the worker.)
-        host_pack.copy_to_host_async()
+        # request the scalar pack now AND hand the blocking read to the
+        # fetch worker: under link congestion the finalize-time np.asarray
+        # pays a full tunnel RT on the main thread (measured 12.8ms mean in
+        # a congested phase), stalling dispatch; the worker absorbs that
+        # wait while the main thread keeps the device fed. (The round-2
+        # contention note predates the off-thread upload prefetcher — with
+        # uploads off the main thread too, the worker fetch wins.)
+        # `defer_fetch` (batched ingest): the caller stacks several frames'
+        # packs into ONE device array and ONE fetch — each per-frame fetch
+        # RPC pays a fixed service cost under congestion, so k frames per
+        # read move the floor the same way k frames per upload do.
         feat_mp_dev.copy_to_host_async()
+        if defer_fetch:
+            pack_fut = host_pack  # raw handle; caller patches in a future
+        else:
+            host_pack.copy_to_host_async()
+            pack_fut = self._fetch_pool.submit(np.asarray, host_pack)
         q = getattr(self, "_pending_q", None)
         if q is None:
             q = self._pending_q = []
-        q.append((frame, pose_dev, vel_dev, feat_mp_dev, host_pack,
+        q.append((frame, pose_dev, vel_dev, feat_mp_dev, pack_fut,
                   timestamp, self.ref_kf))
         # advance device-resident tracking state immediately (async)
         self.pose_dev, self.velocity_dev = pose_dev, vel_dev
@@ -1213,9 +1356,11 @@ class Tracker:
              "ref_fallback": bool(pack[18]), "lost": False}
         )
 
-    def _run_frame(self, prep_fn, step_fn, timestamp: float):
+    def _run_frame(self, prep_fn, step_fn, timestamp: float,
+                   defer_fetch: bool = False):
         if self.cfg.pipelined and self.state == TrackState.OK:
-            return self._run_frame_pipelined(step_fn, timestamp)
+            return self._run_frame_pipelined(step_fn, timestamp,
+                                             defer_fetch=defer_fetch)
         self.flush()
         if self.state == TrackState.NOT_INITIALIZED:
             frame = prep_fn()

@@ -1,0 +1,114 @@
+"""Batched/prefetched frame ingestion must be TRACKING-EQUIVALENT to
+per-frame ingestion: the transfer granularity changes (bench.py picks it
+per link regime), the math does not. The batch path runs a separately
+compiled (slice-fused) step program, so floats may reassociate — the
+equivalence gate is trajectory QUALITY (ATE vs ground truth within a
+hair of the per-frame path), not bitwise poses.
+"""
+
+import numpy as np
+import pytest
+
+from orb_slam2_refactored_tpu.io.evaluation import ate_rmse
+
+from orb_slam2_refactored_tpu.io.synthetic import (
+    SyntheticScene, box_room, orbit_trajectory,
+)
+from orb_slam2_refactored_tpu.slam.map_state import MapCapacity
+from orb_slam2_refactored_tpu.slam.tracking import Tracker, TrackerConfig
+
+N = 36
+
+
+@pytest.fixture(scope="module")
+def frames_gt():
+    planes = box_room(half_x=1.5, half_y=1.2, z_far=2.5, z_near=-2.5)
+    scene = SyntheticScene(width=320, height=240, fx=260.0, fy=260.0,
+                           planes=planes)
+    gt = orbit_trajectory(N, radius=0.3, yaw_amp=0.2)
+    rng = np.random.default_rng(5)
+    out = []
+    for i in range(N):
+        img, depth = scene.render(gt[i])
+        depth = depth * (1 + rng.normal(0, 0.01, depth.shape))
+        out.append((np.clip(img, 0, 255).astype(np.uint8),
+                    depth.astype(np.float16)))
+    return out, gt
+
+
+def _cfg():
+    return TrackerConfig(
+        width=320, height=240, fx=260.0, fy=260.0, cx=160.0, cy=120.0,
+        bf=0.08 * 260.0, n_features=400, n_levels=4, pipelined=True,
+        pipeline_depth=4, enable_loop_closing=False,
+        map_capacity=MapCapacity(max_keyframes=32, max_points=8192,
+                                 max_features=400),
+        depth_subsample=2, depth_encoding="log8",
+    )
+
+
+def _reference_run(frames, gt):
+    t = Tracker(_cfg())
+    for i, (img, d) in enumerate(frames):
+        t.track_rgbd(img, d, timestamp=i / 30.0)
+    t.flush()
+    rmse, _ = ate_rmse(np.stack(t.trajectory), gt, align="se3")
+    return rmse, len(t.graph.alive_kfs())
+
+
+def _check(t, gt, ref_rmse, ref_kfs):
+    est = np.stack(t.trajectory)
+    assert est.shape == (N, 7)
+    rmse, _ = ate_rmse(est, gt, align="se3")
+    assert rmse < 0.02, f"ATE {rmse:.4f} m"
+    assert abs(rmse - ref_rmse) < 0.006, (rmse, ref_rmse)
+    assert abs(len(t.graph.alive_kfs()) - ref_kfs) <= 2
+
+
+class TestBatchIngestEquivalence:
+    def test_batch_matches_per_frame(self, frames_gt):
+        frames, gt = frames_gt
+        ref_rmse, ref_kfs = _reference_run(frames, gt)
+        t = Tracker(_cfg())
+        i = 0
+        while i < N:
+            k = min(4, N - i)
+            t.track_rgbd_batch(
+                [f[0] for f in frames[i:i + k]],
+                [f[1] for f in frames[i:i + k]],
+                [(i + j) / 30.0 for j in range(k)],
+            )
+            i += k
+        t.flush()
+        _check(t, gt, ref_rmse, ref_kfs)
+
+    def test_prefetch_matches_per_frame(self, frames_gt):
+        frames, gt = frames_gt
+        ref_rmse, ref_kfs = _reference_run(frames, gt)
+        t = Tracker(_cfg())
+        futs = t.prefetch_rgbd([f[0] for f in frames],
+                               [f[1] for f in frames])
+        for i, f in enumerate(futs):
+            t.track_rgbd_uploaded(f.result(), timestamp=i / 30.0)
+        t.flush()
+        # same program, same uploads -> the per-frame path exactly
+        _check(t, gt, ref_rmse, ref_kfs)
+
+    def test_prefetch_batches_with_deferred_packs(self, frames_gt,
+                                                  monkeypatch):
+        monkeypatch.setenv("TPU_SLAM_DEFER_PACKS", "1")
+        frames, gt = frames_gt
+        ref_rmse, ref_kfs = _reference_run(frames, gt)
+        t = Tracker(_cfg())
+        futs = t.prefetch_rgbd_batches([f[0] for f in frames],
+                                       [f[1] for f in frames], 4)
+        i = 0
+        for f in futs:
+            k = min(4, N - i)
+            t.track_rgbd_batch(
+                None, None, [(i + j) / 30.0 for j in range(k)],
+                uploaded=f.result(),
+            )
+            i += k
+        t.flush()
+        _check(t, gt, ref_rmse, ref_kfs)

@@ -108,3 +108,28 @@ class TestRgbdTumDriverE2E:
         print(f"driver e2e: ATE {rmse:.4f} m over {n} associated frames")
         assert n >= 35
         assert rmse < 0.05, f"ATE {rmse:.4f} m too large for the box room"
+
+    def test_realtime_pacing(self, capsys):
+        """The driver's --realtime loop must sleep to dataset timestamps
+        (the reference's pacing loop,
+        `/root/reference/Examples/Monocular/mono_tum.cc:92-100`). Driven at
+        the `_run` unit with an instant track_fn so the wall-clock floor is
+        attributable ONLY to pacing sleeps; also covers the median/mean
+        report (`mono_tum.cc:106-115` contract)."""
+        import argparse
+        import time
+
+        from orb_slam2_refactored_tpu.drivers import _run
+
+        stream = [(i * 0.05, None) for i in range(10)]  # 20 fps timestamps
+        args = argparse.Namespace(
+            max_frames=0, realtime=True, out="", kf_out="", kitti_out="",
+        )
+        t0 = time.time()
+        _run(object(), stream, lambda s, it: None, args)
+        wall = time.time() - t0
+        # 9 inter-frame gaps x 50 ms = 0.45 s floor; without pacing this
+        # loop finishes in microseconds
+        assert wall >= 0.40, f"--realtime did not pace: {wall:.3f}s"
+        rep = capsys.readouterr().out
+        assert "median tracking time" in rep and "mean tracking time" in rep
