@@ -208,11 +208,21 @@ def ba_solve(
     axis_name: str = None,
     lambda0: float = 1e-4,
     dense_schur: bool = False,
+    axis_size: int = 1,
 ) -> BAResult:
     """When `axis_name` is given, the problem's keyframe axis is assumed
     sharded under `shard_map(mesh, axis_name)` with point arrays replicated:
-    all point-space reductions and CG scalars become psums over ICI — the
-    keyframe-sharded distributed global BA of BASELINE.json configs[4].
+    all point-space reductions and CG scalars become collectives over ICI —
+    the keyframe-sharded distributed global BA of BASELINE.json configs[4].
+
+    With `axis_size > 1` the POINT-space stages shard too: every [P,*]
+    all-reduce becomes reduce-scatter (`psum_scatter`) + local compute on
+    P/n rows + `all_gather` — IDENTICAL ring communication volume to the
+    plain psum, but the replicated point-space FLOPs (Hll damping, 3x3
+    inversions, G products, back-substitution) divide by the mesh size.
+    Without this the point work is an Amdahl term that caps 2-host
+    efficiency (~54% measured, benchmarks/ba_scaling.py); with it the
+    per-shard compute genuinely shrinks ~1/n.
 
     `dense_schur=True` forms the reduced camera system S explicitly
     ([K*6, K*6], one batched application of S to the identity) and solves it
@@ -222,13 +232,36 @@ def ba_solve(
     (S materialization grows as K^2 and the basis batch as K*P)."""
     with jax.default_matmul_precision("highest"):
         return _ba_solve_f32(p, cam, iters, cg_iters, use_huber, chi2_gate,
-                             axis_name, lambda0, dense_schur)
+                             axis_name, lambda0, dense_schur, axis_size)
 
 
 def _ba_solve_f32(p, cam, iters, cg_iters, use_huber, chi2_gate, axis_name,
-                  lambda0, dense_schur=False) -> BAResult:
+                  lambda0, dense_schur=False, axis_size=1) -> BAResult:
     K, N = p.obs_uv.shape[:2]
     P = p.pt_pos.shape[0]
+    shard_pts = (axis_name is not None and axis_size > 1
+                 and not dense_schur and P % axis_size == 0)
+    if shard_pts:
+        Psh = P // axis_size
+
+        def to_shard(x):
+            """Local [P,...] accumulator -> reduced [P/n,...] shard."""
+            return jax.lax.psum_scatter(x, axis_name, scatter_dimension=0,
+                                        tiled=True)
+
+        def to_full(x_sh):
+            """[P/n,...] shard -> replicated [P,...] (rank-ordered)."""
+            return jax.lax.all_gather(x_sh, axis_name, axis=0, tiled=True)
+
+        def my_rows(x):
+            """This rank's rows of a replicated [P,...] array."""
+            rank = jax.lax.axis_index(axis_name)
+            return jax.lax.dynamic_slice_in_dim(x, rank * Psh, Psh, 0)
+    else:
+        Psh = P
+        to_shard = lambda x: _psum(x, axis_name)  # noqa: E731
+        to_full = lambda x: x                     # noqa: E731
+        my_rows = lambda x: x                     # noqa: E731
     has_ur = p.obs_ur > 0
     huber_delta = jnp.sqrt(jnp.where(has_ur, CHI2_STEREO, CHI2_MONO))
     chi2_th = jnp.where(has_ur, CHI2_STEREO, CHI2_MONO)
@@ -257,13 +290,14 @@ def _ba_solve_f32(p, cam, iters, cg_iters, use_huber, chi2_gate, axis_name,
         packed = jnp.concatenate(
             [Hll_obs.reshape(-1, 9), g_l_obs.reshape(-1, 3)], axis=-1
         )
-        acc = _psum(
+        # point-space assembly: reduce-scatter when point-sharded (each
+        # rank keeps P/n reduced rows), plain psum otherwise
+        acc = to_shard(
             jnp.zeros((P, 12))
             .at[flat_pt]
-            .add(jnp.where(obs_ok0.reshape(-1, 1), packed, 0.0)),
-            axis_name,
+            .add(jnp.where(obs_ok0.reshape(-1, 1), packed, 0.0))
         )
-        Hll = acc[:, :9].reshape(P, 3, 3)
+        Hll = acc[:, :9].reshape(Psh, 3, 3)
         g_l = acc[:, 9:]
         # damping: H + lam*diag(H) + eps on both blocks
         eye6 = jnp.eye(6)
@@ -272,24 +306,24 @@ def _ba_solve_f32(p, cam, iters, cg_iters, use_huber, chi2_gate, axis_name,
         Hpp_d = Hpp + (lam * dp_diag + 1e-6)[:, :, None] * eye6[None]
         dl_diag = jnp.diagonal(Hll, axis1=1, axis2=2)
         Hll_d = Hll + (lam * dl_diag + 1e-6)[:, :, None] * eye3[None]
-        G = _inv3x3(Hll_d + 1e-9 * eye3[None])  # [P,3,3]
+        G = _inv3x3(Hll_d + 1e-9 * eye3[None])  # [P/n,3,3]
         if p.pt_frozen is not None:
             # frozen landmarks are excluded from the Schur elimination: G=0
             # removes their -U G U^T term (they act as constants in the
             # reduced camera system) and forces dl=0 in back-substitution
-            G = jnp.where(p.pt_frozen[:, None, None], 0.0, G)
+            G = jnp.where(my_rows(p.pt_frozen)[:, None, None], 0.0, G)
 
         # W_obs = JpW^T Jl per obs: [K,N,6,3]
         W_obs = jnp.einsum("knci,kncj->knij", JpW, Jl)
 
         def U_T(v):
-            """v [K,6] -> [P,3]: sum_obs W_obs^T v_k scattered to points."""
+            """v [K,6] -> [P/n,3] shard: sum_obs W_obs^T v_k scattered to
+            points, reduce-scattered across the mesh."""
             contrib = jnp.einsum("knij,ki->knj", W_obs, v)  # [K,N,3]
-            return _psum(
+            return to_shard(
                 jnp.zeros((P, 3)).at[flat_pt].add(
                     jnp.where(obs_ok0.reshape(-1, 1), contrib.reshape(-1, 3), 0.0)
-                ),
-                axis_name,
+                )
             )
 
         def U(y):
@@ -301,8 +335,8 @@ def _ba_solve_f32(p, cam, iters, cg_iters, use_huber, chi2_gate, axis_name,
         def S_mv(v):
             v = v * free[:, None]
             out = jnp.einsum("kij,kj->ki", Hpp_d, v)
-            w1 = U_T(v)
-            w2 = jnp.einsum("pij,pj->pi", G, w1)
+            w1 = U_T(v)                               # [P/n,3] shard
+            w2 = to_full(jnp.einsum("pij,pj->pi", G, w1))  # gather [P,3]
             out = out - U(w2)
             return out * free[:, None]
 
@@ -365,7 +399,8 @@ def _ba_solve_f32(p, cam, iters, cg_iters, use_huber, chi2_gate, axis_name,
             ut_dp = jnp.einsum("pdi,d->pi", T, dp.reshape(D))
         else:
             # rhs = -(g_p - U G g_l), projected to free frames
-            rhs = -(g_p - U(jnp.einsum("pij,pj->pi", G, g_l))) * free[:, None]
+            rhs = -(g_p - U(to_full(jnp.einsum("pij,pj->pi", G, g_l)))) \
+                * free[:, None]
             x0 = jnp.zeros_like(rhs)
             z0 = precond(rhs)
             (dp, *_), _ = jax.lax.scan(
@@ -376,8 +411,9 @@ def _ba_solve_f32(p, cam, iters, cg_iters, use_huber, chi2_gate, axis_name,
             )
             ut_dp = U_T(dp)
 
-        # back-substitute landmarks: dl = G (-g_l - U^T dp)
-        dl = jnp.einsum("pij,pj->pi", G, -g_l - ut_dp)
+        # back-substitute landmarks: dl = G (-g_l - U^T dp), computed on
+        # this rank's point shard then gathered (identical on every rank)
+        dl = to_full(jnp.einsum("pij,pj->pi", G, -g_l - ut_dp))
         dl = jnp.where(p.pt_valid[:, None], dl, 0.0)
 
         new_pose = se3.retract(kf_pose, dp)
@@ -397,8 +433,14 @@ def _ba_solve_f32(p, cam, iters, cg_iters, use_huber, chi2_gate, axis_name,
         p.kf_pose, p.pt_pos, p, cam, obs_ok0,
         jnp.sqrt(jnp.where(has_ur, CHI2_STEREO, CHI2_MONO)), use_huber, axis_name,
     )
+    pt0 = p.pt_pos
+    if shard_pts:
+        # the point-sharded path's all_gathered updates are tracked as
+        # varying over the mesh axis (identical on every rank in value);
+        # the scan carry's initial value must match that annotation
+        pt0 = jax.lax.pcast(pt0, axis_name, to="varying")
     (kf_pose, pt_pos, _, final_cost), _ = jax.lax.scan(
-        lm_step, (p.kf_pose, p.pt_pos, jnp.float32(lambda0), cost0), None, length=iters
+        lm_step, (p.kf_pose, pt0, jnp.float32(lambda0), cost0), None, length=iters
     )
     _, chi2 = _cost_only(kf_pose, pt_pos, p, cam, obs_ok0,
                          jnp.sqrt(chi2_th), use_huber, axis_name)

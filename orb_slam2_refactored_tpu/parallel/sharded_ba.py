@@ -73,7 +73,18 @@ def sharded_ba_solve(
     """
     n = mesh.shape[AXIS]
     K0 = p.kf_pose.shape[0]
+    P0 = p.pt_pos.shape[0]
     p = pad_problem(p, n)
+    # the point axis shards inside the solve (reduce-scatter + all-gather,
+    # see optim/ba.py `shard_pts`): pad P to a mesh multiple
+    pad_p = (-P0) % n
+    if pad_p:
+        p = p._replace(
+            pt_pos=jnp.concatenate([p.pt_pos, jnp.zeros((pad_p, 3))]),
+            pt_valid=jnp.concatenate([p.pt_valid, jnp.zeros(pad_p, bool)]),
+            pt_frozen=(None if p.pt_frozen is None else jnp.concatenate(
+                [p.pt_frozen, jnp.ones(pad_p, bool)])),
+        )
 
     kf_spec = P(AXIS)
     pt_spec = P()
@@ -92,17 +103,23 @@ def sharded_ba_solve(
     fn = jax.shard_map(
         partial(
             ba_solve, cam=cam, iters=iters, cg_iters=cg_iters,
-            use_huber=use_huber, axis_name=AXIS,
+            use_huber=use_huber, axis_name=AXIS, axis_size=n,
         ),
         mesh=mesh,
         in_specs=(in_specs,),
         out_specs=out_specs,
+        # pt_pos is rebuilt by a deterministic all_gather of the
+        # reduce-scattered point shards — bit-identical on every rank, but
+        # "varying" to the static replication checker (there is no
+        # varying->invarying pcast by design). The n=1-vs-n parity test
+        # asserts the replication empirically (tests/test_sharded_ba.py).
+        check_vma=False,
     )
     res = fn(p)
-    if res.kf_pose.shape[0] != K0:
+    if res.kf_pose.shape[0] != K0 or res.pt_pos.shape[0] != P0:
         res = BAResult(
             kf_pose=res.kf_pose[:K0],
-            pt_pos=res.pt_pos,
+            pt_pos=res.pt_pos[:P0],
             initial_cost=res.initial_cost,
             final_cost=res.final_cost,
             obs_inlier=res.obs_inlier[:K0],
