@@ -63,8 +63,17 @@ def fast_strength_map(img):
     zeroed outside the 3px border. One evaluation serves every threshold
     (`score(th) = strength - th`), so the two-threshold detector pays for
     the 16 shifted planes once.
+
+    Computes in the INPUT dtype: a bf16 pyramid level halves the HBM bytes
+    of the 16 shifted planes (the stage's dominant traffic), and the
+    arithmetic here is exact for integer-valued bf16 images (differences
+    of intensities <= 255 are representable; the cascades are pure
+    min/max). Returns f32 either way — downstream sort keys add large
+    rank-boost constants that bf16 cannot carry.
     """
-    img = img.astype(jnp.float32)
+    img = jnp.asarray(img)
+    if not jnp.issubdtype(img.dtype, jnp.floating):
+        img = img.astype(jnp.float32)  # uint8 would underflow on subtract
     planes = _shifted_planes(img)           # [16,H,W]
     d = planes - img[None]                  # circle minus center
 
@@ -72,7 +81,7 @@ def fast_strength_map(img):
     dark_strength = _arc_min_cascade(-d)        # min over 9-window of -d
     s_bright = jnp.max(bright_strength, axis=0)  # best window
     s_dark = jnp.max(dark_strength, axis=0)
-    strength = jnp.maximum(s_bright, s_dark)
+    strength = jnp.maximum(s_bright, s_dark).astype(jnp.float32)
 
     h, w = img.shape
     yy = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)

@@ -332,7 +332,11 @@ def angles_and_descriptors_mxu_raw(lvl, ys, xs, pattern: str = "fresh"):
     halo = 3  # 7-tap kernel
     raw = _gather_patches_r(lvl, ys, xs, HALF_PATCH + halo)  # [K,37,37]
     B = jnp.asarray(_blur31_matrix())
-    win = jnp.einsum("ac,kab,bd->kcd", B, raw, B).reshape(-1, 961)
+    # blur in f32 regardless of the pyramid dtype (level 0 is exact in
+    # bf16, so the blurred window — and the descriptor bits — stay
+    # bit-identical to the f32 pipeline there)
+    win = jnp.einsum("ac,kab,bd->kcd", B, raw.astype(jnp.float32),
+                     B).reshape(-1, 961)
     _, xm, ym = circular_patch_masks()
     mom = jnp.asarray(
         np.stack([xm.reshape(-1), ym.reshape(-1)], axis=1)
@@ -440,6 +444,12 @@ class OrbExtractor:
 
     def _extract_impl(self, img) -> OrbFeatures:
         img = image_ops.to_gray(img)
+        # bf16 pyramid: intensities 0-255 are exact in bf16 (8-bit
+        # mantissa), so level 0 is lossless and FAST/descriptors there are
+        # bit-identical to f32; resized levels round interpolated values to
+        # ~0.4 gray (far under the minThFAST=7 corner threshold) while the
+        # resize chain and FAST planes move half the HBM bytes
+        img = img.astype(jnp.bfloat16)
         levels = image_ops.build_pyramid(img, self.n_levels, self.scale_factor)
         outs = []
         for l, lvl in enumerate(levels):
