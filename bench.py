@@ -207,10 +207,10 @@ def main():
 
     # ---- measured windows ----
     # The tunnel's marginal bandwidth swings ~2x minute to minute (observed
-    # 63-103 fps for identical code); ONE window would score tunnel weather,
-    # not the engine. Three IDENTICAL windows (fresh map, re-warmed prefix,
-    # measured remainder) and the MEDIAN is the reported number; the spread
-    # goes to stderr.
+    # 59-111 fps for identical code); ONE window would score tunnel weather,
+    # not the engine. One unscored settle window, then N_WINDOWS IDENTICAL
+    # windows (fresh map, re-warmed prefix, link probe, measured remainder);
+    # the MEDIAN is the reported number and the spread goes to stderr.
     N_WINDOWS = int(os.environ.get("BENCH_WINDOWS", "5"))  # median of 5:
     # robust to ~2 congested windows (the tunnel's bandwidth swings ~2x
     # minute to minute; see VERDICT r3 weak #1)

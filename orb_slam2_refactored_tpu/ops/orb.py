@@ -444,12 +444,15 @@ class OrbExtractor:
 
     def _extract_impl(self, img) -> OrbFeatures:
         img = image_ops.to_gray(img)
-        # bf16 pyramid: intensities 0-255 are exact in bf16 (8-bit
-        # mantissa), so level 0 is lossless and FAST/descriptors there are
-        # bit-identical to f32; resized levels round interpolated values to
-        # ~0.4 gray (far under the minThFAST=7 corner threshold) while the
-        # resize chain and FAST planes move half the HBM bytes
-        img = img.astype(jnp.bfloat16)
+        # The pyramid stays f32. A bf16 pyramid was built and measured
+        # (extract 2.2 -> 2.0 ms: the resize chain + FAST planes halve
+        # their HBM bytes, level 0 stays bit-exact since intensities are
+        # integers), but the ~0.4-gray rounding of INTERPOLATED upper
+        # levels perturbs keypoint selection enough to cost stereo
+        # association accuracy (stereo-odometry ATE 0.044 -> 0.059 m,
+        # past its gate) — 0.2 ms is not worth a measurable accuracy
+        # regression. fast.py still computes in the input dtype, so the
+        # bf16 option remains one cast away for mono/RGB-D-only deploys.
         levels = image_ops.build_pyramid(img, self.n_levels, self.scale_factor)
         outs = []
         for l, lvl in enumerate(levels):

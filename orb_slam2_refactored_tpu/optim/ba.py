@@ -269,8 +269,8 @@ def _ba_solve_f32(p, cam, iters, cg_iters, use_huber, chi2_gate, axis_name,
     pt_idx = jnp.clip(p.obs_pt, 0, P - 1)
     free = ~p.kf_fixed  # [K]
 
-    def lm_step(state, _):
-        kf_pose, pt_pos, lam, prev_cost = state
+    def lm_step(state):
+        kf_pose, pt_pos, lam, prev_cost, it, _ = state
         r, Jp, Jl = _residuals_jacobians(kf_pose, pt_pos, p, cam)
         chi2 = jnp.sum(r * r, -1) * p.obs_inv_s2
         s = jnp.sqrt(jnp.maximum(chi2, 1e-12))
@@ -427,7 +427,14 @@ def _ba_solve_f32(p, cam, iters, cg_iters, use_huber, chi2_gate, axis_name,
         pt_pos = jnp.where(improved, new_pts, pt_pos)
         lam = jnp.clip(jnp.where(improved, lam * 0.4, lam * 5.0), 1e-8, 1e5)
         cost = jnp.where(improved, new_cost, prev_cost)
-        return (kf_pose, pt_pos, lam, cost), cost
+        # early exit on gain stall (g2o's LM likewise terminates early,
+        # optimization_algorithm_levenberg.cpp): an accepted step improving
+        # cost by < 1e-5 relative means the remaining iterations are
+        # no-ops, and each costs a full Jacobian + Schur + CG/solve pass
+        # (the dominant slice of the per-keyframe window-BA device time)
+        rel_gain = (prev_cost - new_cost) / jnp.maximum(prev_cost, 1e-12)
+        done = improved & (rel_gain < 1e-5)
+        return (kf_pose, pt_pos, lam, cost, it + 1, done)
 
     cost0, _ = _cost_only(
         p.kf_pose, p.pt_pos, p, cam, obs_ok0,
@@ -437,10 +444,13 @@ def _ba_solve_f32(p, cam, iters, cg_iters, use_huber, chi2_gate, axis_name,
     if shard_pts:
         # the point-sharded path's all_gathered updates are tracked as
         # varying over the mesh axis (identical on every rank in value);
-        # the scan carry's initial value must match that annotation
+        # the loop carry's initial value must match that annotation
         pt0 = jax.lax.pcast(pt0, axis_name, to="varying")
-    (kf_pose, pt_pos, _, final_cost), _ = jax.lax.scan(
-        lm_step, (p.kf_pose, pt0, jnp.float32(lambda0), cost0), None, length=iters
+    kf_pose, pt_pos, _, final_cost, _, _ = jax.lax.while_loop(
+        lambda st: (st[4] < iters) & ~st[5],
+        lm_step,
+        (p.kf_pose, pt0, jnp.float32(lambda0), cost0, jnp.int32(0),
+         jnp.bool_(False)),
     )
     _, chi2 = _cost_only(kf_pose, pt_pos, p, cam, obs_ok0,
                          jnp.sqrt(chi2_th), use_huber, axis_name)
