@@ -18,6 +18,7 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
 
@@ -67,7 +68,13 @@ def main(argv=None):
     p.add_argument("mode", choices=[
         "mono_tum", "mono_kitti", "mono_euroc",
         "stereo_kitti", "stereo_euroc", "rgbd_tum", "synthetic_rgbd",
+        "live_rgbd",
     ])
+    p.add_argument("--watch", help="live_rgbd: directory to watch for "
+                   "incoming rgb/<ts>.png + depth/<ts>.png pairs")
+    p.add_argument("--idle-timeout", type=float, default=5.0,
+                   help="live_rgbd: exit after this many seconds without "
+                   "a new frame")
     p.add_argument("--settings", help="reference-format YAML settings file")
     p.add_argument("--sequence", help="dataset sequence directory")
     p.add_argument("--timestamps", help="EuRoC timestamp file")
@@ -84,6 +91,8 @@ def main(argv=None):
 
     if args.mode == "synthetic_rgbd":
         return _run_synthetic(args)
+    if args.mode == "live_rgbd":
+        return _run_live_rgbd(args)
 
     sensor = {
         "mono_tum": MONOCULAR, "mono_kitti": MONOCULAR, "mono_euroc": MONOCULAR,
@@ -115,6 +124,81 @@ def main(argv=None):
         stream = datasets.euroc_mono_sequence(args.sequence, args.timestamps)
         _run(system, stream, lambda s, it: s.track_monocular(it[1], it[0]), args)
     return 0
+
+
+def _run_live_rgbd(args):
+    """Live-source RGB-D tracking: consume synchronized frame pairs AS THEY
+    ARRIVE in a watched directory.
+
+    Capability analog of the reference's ROS node
+    (`/root/reference/Examples/ROS/ORB_SLAM2/src/ros_rgbd.cc`: an
+    ApproximateTime-synchronized rgb+depth subscription whose callback
+    feeds TrackRGBD). A zero-egress TPU host has no ROS transport, so the
+    "topic" is a directory: any producer (camera daemon, network relay)
+    drops `rgb/<ts>.png` + `depth/<ts>.png` pairs and the driver tracks
+    each pair once both sides exist — same synchronization contract,
+    filesystem transport. Exits after --idle-timeout seconds without a
+    new frame (the node's shutdown analog), then prints the timing report
+    and saves trajectories like every other driver."""
+    import glob
+
+    from .slam.system import RGBD, SlamSystem
+
+    system = SlamSystem.create(
+        args.settings, RGBD, enable_loop_closing=not args.no_loop_closing
+    )
+    watch = args.watch or args.sequence
+    assert watch, "live_rgbd requires --watch DIR"
+
+    def scan():
+        rgbs = {os.path.basename(f)[:-4]: f
+                for f in glob.glob(os.path.join(watch, "rgb", "*.png"))}
+        deps = {os.path.basename(f)[:-4]: f
+                for f in glob.glob(os.path.join(watch, "depth", "*.png"))}
+        try:
+            return sorted(set(rgbs) & set(deps), key=float), rgbs, deps
+        except ValueError:  # non-numeric stem: keep lexical order
+            return sorted(set(rgbs) & set(deps)), rgbs, deps
+
+    times = []
+    seen = set()
+    last_new = time.time()
+    n = 0
+    while time.time() - last_new < args.idle_timeout:
+        stems, rgbs, deps = scan()
+        progressed = False
+        for ts in stems:
+            if ts in seen:
+                continue
+            img = cv2_imread_gray_or_none(rgbs[ts])
+            dep = cv2_imread_unchanged_or_none(deps[ts])
+            if img is None or dep is None:
+                continue  # partially written; retry next scan
+            seen.add(ts)
+            t0 = time.time()
+            system.track_rgbd(img, dep.astype(np.float32), float(ts))
+            times.append(time.time() - t0)
+            n += 1
+            last_new = time.time()
+            progressed = True
+            if args.max_frames and n >= args.max_frames:
+                last_new = -1e18  # force exit
+                break
+        if not progressed:
+            time.sleep(0.02)
+    _report(times, system, args.out, args.kf_out, args.kitti_out)
+    return 0
+
+
+def cv2_imread_gray_or_none(path):
+    import cv2
+    img = cv2.imread(path, cv2.IMREAD_GRAYSCALE)
+    return None if img is None else img.astype(np.float32)
+
+
+def cv2_imread_unchanged_or_none(path):
+    import cv2
+    return cv2.imread(path, cv2.IMREAD_UNCHANGED)
 
 
 def _run_synthetic(args):
