@@ -87,6 +87,13 @@ def main(argv=None):
     p.add_argument("--realtime", action="store_true",
                    help="pace replay to dataset timestamps (reference default)")
     p.add_argument("--no-loop-closing", action="store_true")
+    p.add_argument("--save-map", default="",
+                   help="persist the full SLAM state after the run "
+                   "(checkpoint/resume — first-class here, TODO in the "
+                   "reference)")
+    p.add_argument("--load-map", default="",
+                   help="restore a saved map before tracking (relocalizes "
+                   "against it)")
     args = p.parse_args(argv)
 
     if args.mode == "synthetic_rgbd":
@@ -101,6 +108,8 @@ def main(argv=None):
     system = SlamSystem.create(
         args.settings, sensor, enable_loop_closing=not args.no_loop_closing
     )
+    if args.load_map:
+        system.load_map(args.load_map)
 
     if args.mode == "rgbd_tum":
         stream = datasets.tum_rgbd_sequence(args.sequence, args.assoc)
@@ -123,6 +132,9 @@ def main(argv=None):
     elif args.mode == "mono_euroc":
         stream = datasets.euroc_mono_sequence(args.sequence, args.timestamps)
         _run(system, stream, lambda s, it: s.track_monocular(it[1], it[0]), args)
+    if args.save_map:
+        system.save_map(args.save_map)
+        print(f"map saved to {args.save_map}")
     return 0
 
 
@@ -147,6 +159,8 @@ def _run_live_rgbd(args):
     system = SlamSystem.create(
         args.settings, RGBD, enable_loop_closing=not args.no_loop_closing
     )
+    if args.load_map:
+        system.load_map(args.load_map)
     watch = args.watch or args.sequence
     assert watch, "live_rgbd requires --watch DIR"
 
@@ -187,6 +201,9 @@ def _run_live_rgbd(args):
         if not progressed:
             time.sleep(0.02)
     _report(times, system, args.out, args.kf_out, args.kitti_out)
+    if args.save_map:
+        system.save_map(args.save_map)
+        print(f"map saved to {args.save_map}")
     return 0
 
 

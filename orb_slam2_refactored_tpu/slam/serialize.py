@@ -24,6 +24,10 @@ def save_map(tracker: Tracker, path: str):
     # complete the in-flight mapping job + deferred erasures so the saved
     # graph matches the saved device arrays
     tracker._finalize_map()
+    # a checkpoint without place-recognition state could never be
+    # relocalized into — train/build the BoW index now if the session was
+    # too short for the lazy trainer (see Tracker.force_bow_index)
+    tracker.force_bow_index()
     m = tracker.map
     g = tracker.graph
     arrays = {f"map_{k}": np.asarray(v) for k, v in m._asdict().items()}

@@ -249,6 +249,20 @@ class SlamSystem:
         self.tracker = new
         self.timestamps = []
 
+    def save_map(self, path: str):
+        """Persist the full SLAM state (the reference leaves SaveMap as a
+        TODO, `/root/reference/src/System.cc:845-847`; here it is
+        first-class — SURVEY.md §5 checkpoint/resume)."""
+        from .serialize import save_map as _save
+        _save(self.tracker, path)
+
+    def load_map(self, path: str):
+        """Restore a saved map into this system; the next tracked frame
+        relocalizes against it (LoadMap analog the reference never
+        implemented, `include/System.h:99-101`)."""
+        from .serialize import load_map as _load
+        _load(self.tracker, path)
+
     def shutdown(self):
         """Stop the viewer thread if one is running (the reference joins
         Viewer + LocalMapping + LoopClosing + GBA, src/System.cc:665-684;

@@ -1729,6 +1729,28 @@ class Tracker:
             self._vocab_pending = []
         return self.loop_closer.add_keyframe_bow(self.map, slot)
 
+    def force_bow_index(self) -> bool:
+        """Train the vocabulary + build the BoW index NOW from every alive
+        keyframe, bypassing the VOCAB_TRAIN_KFS warm-up threshold.
+
+        Called by `serialize.save_map`: a short session (few keyframes)
+        would otherwise checkpoint WITHOUT place-recognition state, and a
+        later `load_map` could never relocalize into it — the map would be
+        silently unusable (the reference never hits this because it loads
+        ORBvoc.txt up front, src/System.cc:343). Returns True when an
+        index exists afterwards."""
+        if self.loop_closer is not None:
+            return True
+        alive = [int(k) for k in self.graph.alive_kfs()]
+        if not alive:
+            return False
+        self._vocab_pending = list(alive[:-1])
+        self.VOCAB_TRAIN_KFS = 1  # instance attr shadows the class default
+        try:
+            return self._ensure_bow_index(alive[-1]) is not None
+        finally:
+            del self.VOCAB_TRAIN_KFS  # restore the class default
+
     def _loop_closing_stage(self, frame: FrameData, slot: int):
         bow = self._ensure_bow_index(slot)
         if bow is None or not self.cfg.enable_loop_closing:

@@ -109,6 +109,54 @@ class TestRgbdTumDriverE2E:
         assert n >= 35
         assert rmse < 0.05, f"ATE {rmse:.4f} m too large for the box room"
 
+    def test_save_load_map_cli(self, tum_dir, tmp_path):
+        """Checkpoint/resume through the CLI: build + save a map in one
+        run, restore it in a FRESH system and relocalize against it (the
+        Save/LoadMap the reference leaves as TODOs,
+        `/root/reference/src/System.cc:845-847`)."""
+        import jax.numpy as jnp
+
+        from orb_slam2_refactored_tpu.drivers import main as driver_main
+        from orb_slam2_refactored_tpu.geometry import se3
+        from orb_slam2_refactored_tpu.io.evaluation import ate_rmse_assoc
+
+        settings = str(tmp_path / "settings.yaml")
+        with open(settings, "w") as f:
+            f.write(SETTINGS_YAML)
+        map_path = str(tmp_path / "map.npz")
+        rc = driver_main([
+            "rgbd_tum", "--settings", settings, "--sequence", tum_dir,
+            "--out", str(tmp_path / "t1.txt"), "--save-map", map_path,
+            "--no-loop-closing",
+        ])
+        assert rc == 0 and os.path.exists(map_path)
+
+        out2 = str(tmp_path / "t2.txt")
+        rc = driver_main([
+            "rgbd_tum", "--settings", settings, "--sequence", tum_dir,
+            "--out", out2, "--load-map", map_path, "--max-frames", "25",
+            "--no-loop-closing",
+        ])
+        assert rc == 0
+        est_ts, est_poses = [], []
+        with open(out2) as f:
+            for line in f:
+                v = [float(x) for x in line.split()]
+                est_ts.append(v[0])
+                tx, ty, tz, qx, qy, qz, qw = v[1:8]
+                est_poses.append([qw, qx, qy, qz, tx, ty, tz])
+        # the restored system starts LOST and must RELOCALIZE against the
+        # loaded map, then keep tracking. The first reloc pose is coarse
+        # (RANSAC seed, reference behavior too) — score the settled tail.
+        assert len(est_ts) >= 20
+        est_cw = np.asarray(se3.inverse(jnp.asarray(est_poses, jnp.float32)))
+        gt_ts, gt_cw = load_tum_groundtruth(
+            os.path.join(tum_dir, "groundtruth.txt"))
+        rmse, _, n = ate_rmse_assoc(
+            np.asarray(est_ts[-10:]), est_cw[-10:], gt_ts, gt_cw)
+        assert n >= 8
+        assert rmse < 0.06, f"post-restore settled ATE {rmse:.4f} m"
+
     def test_realtime_pacing(self, capsys):
         """The driver's --realtime loop must sleep to dataset timestamps
         (the reference's pacing loop,
