@@ -211,9 +211,10 @@ def main():
     # not the engine. One unscored settle window, then N_WINDOWS IDENTICAL
     # windows (fresh map, re-warmed prefix, link probe, measured remainder);
     # the MEDIAN is the reported number and the spread goes to stderr.
-    N_WINDOWS = int(os.environ.get("BENCH_WINDOWS", "5"))  # median of 5:
-    # robust to ~2 congested windows (the tunnel's bandwidth swings ~2x
-    # minute to minute; see VERDICT r3 weak #1)
+    N_WINDOWS = int(os.environ.get("BENCH_WINDOWS", "7"))  # median of 7:
+    # the scored windows span ~3 minutes of wall time, so the median mixes
+    # link-weather phases instead of sampling a single one (phases last
+    # minutes; see VERDICT r3 weak #1 and the probe-chosen batch print)
     tracker.timer.reset()
     window_fps = []
     rmse = None
