@@ -129,16 +129,14 @@ def select_spread_topk(score, k: int, cell: int = 32, rank_rounds: int = 4):
     with a single global top-k. Returns (ys, xs, scores, valid) of length k.
     """
     h, w = score.shape
-    # adapt the cell to the level: small pyramid levels have so few 32px
-    # cells that the rank-extraction loop below degenerates into dozens of
-    # SEQUENTIAL tiny argmaxes (level 7 at 80x60: 6 cells, ~37 rounds —
-    # pure dispatch latency). Halving the cell until C >= k bounds the
-    # rounds at ~6 everywhere; finer cells = a deeper quad-tree subdivision,
-    # the same direction the reference's suppression takes on small levels
-    # (`src/ORBextractor.cc:542-693` keeps splitting while nodes hold
-    # multiple corners).
-    while cell > 8 and ((h + cell - 1) // cell) * ((w + cell - 1) // cell) < k:
-        cell //= 2
+    # NOTE on small levels: with few 32px cells the rank loop below runs
+    # dozens of SEQUENTIAL tiny argmaxes (level 7 at 80x60: ~37 rounds,
+    # ~0.2 ms of dispatch latency). An adaptive cell (halve until C >= k)
+    # was built and measured: it bounds the rounds at ~6, but the stronger
+    # spread enforcement on small levels reshuffles the scale-invariant
+    # features loops match on, and the 100k-vocab loop circuit's corrected
+    # ATE regressed 0.048 -> 0.090 m — reverted: 0.16 ms is not worth a
+    # measured loop-quality regression on a link-bound engine.
     ph, pw = (-h) % cell, (-w) % cell
     sp = jnp.pad(score, ((0, ph), (0, pw)))
     hc, wc = (h + ph) // cell, (w + pw) // cell
