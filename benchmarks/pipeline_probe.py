@@ -11,6 +11,13 @@ This isolates the marginal cost of (a) upload bytes, (b) per-frame RPCs,
 ONE compiled step program for all variants (payload rides as an
 independent upload; the step's compute chain runs via fori_loop), so the
 probe itself is cheap to (re)run on a cold cache.
+
+HISTORICAL NOTE: this mock suggested batched uploads always win; the REAL
+tracker showed the answer is link-regime-dependent (per-frame wins in
+bandwidth-bound phases, 8-frame batches win under congestion's fixed
+per-RPC service cost) — see Tracker.upload_rgbd_batch and bench.py's
+probe_batch, which measure the live link instead of assuming either
+regime. Kept as the template for sustained-cycle experiments.
 """
 
 import os

