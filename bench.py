@@ -101,6 +101,18 @@ def main():
                            # too far and loses accuracy-driven throughput)
         map_capacity=MapCapacity(max_keyframes=128, max_points=32768,
                                  max_features=1000),
+        image_encoding=os.environ.get("BENCH_IMG_ENC", "raw"),
+                            # image wire format. A fixed-rate 8x8-DCT
+                            # option exists (ops/codec.py: 307 -> 77 KB,
+                            # ~+15-30% fps in byte-bound phases) but is
+                            # NOT the scored default: measured ATE on this
+                            # workload rises 1.94 -> 2.4-3.2 cm and one
+                            # run CROSSED the 3 cm hard gate (score
+                            # zeroed). The gate exists precisely to stop
+                            # fps bought with drift — it fired, the raw
+                            # format stays. (log8 depth survives the same
+                            # gate with margin; the image is where the
+                            # geometry lives.)
         depth_subsample=int(os.environ.get("BENCH_DEPTH_SUB", "8")),
         depth_encoding=os.environ.get("BENCH_DEPTH_ENC", "log8"),
                             # depth wire format: 8x8-subsampled log8 depth
