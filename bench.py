@@ -135,19 +135,42 @@ def main():
     # padding-bucket variant of the keyframe-stage programs.
     import jax.numpy as jnp
 
-    def ingest(lo, hi, ts_base, batch=1):
+    PAIR_ENV = os.environ.get("BENCH_PAIR")  # "1"/"0" force; unset = probe
+    # fused 2-frame stepping (`Tracker._step2_impl`): one dispatch RPC +
+    # one stacked pack fetch per TWO frames. Orthogonal to upload
+    # granularity — transfer sizes are unchanged, only the per-frame RPC
+    # count halves, which is exactly the congested-phase cost model
+    # (fixed ~10-12 ms service time per RPC independent of payload).
+    # Device cost is seam-neutral (measured 1.92x a single step,
+    # benchmarks/ab_pair.py), so whether pair wins is purely a link-regime
+    # question — probed per window below, like the upload granularity.
+
+    def ingest(lo, hi, ts_base, batch=1, pair=False):
         """Uploads always stream from the prefetch pool (off the dispatch
         thread); `batch` frames ride each transfer. The link has two
         regimes — bandwidth-bound (per-frame transfers win: no head-of-line
         blocking; 111 vs 59 fps measured k=1 vs k=4) and congested with a
         fixed per-RPC service cost independent of payload size (pairs win:
         60 -> 80 fps measured at k=2) — so the measured loop probes the
-        live link and picks `batch` per window (see probe_batch)."""
+        live link and picks `batch` per window (see probe_batch). Step
+        dispatch rides the fused pair program when `pair` (default on)."""
         if batch <= 1:
             futs = tracker.prefetch_rgbd(imgs[lo:hi], depths[lo:hi])
-            for j, i in enumerate(range(lo, hi)):
-                tracker.track_rgbd_uploaded(futs[j].result(),
-                                            timestamp=(ts_base + i) / 30.0)
+            j = 0
+            n = hi - lo
+            while j < n:
+                if pair and j + 1 < n:
+                    tracker.track_rgbd_pair_uploaded(
+                        futs[j].result(), futs[j + 1].result(),
+                        (ts_base + lo + j) / 30.0,
+                        (ts_base + lo + j + 1) / 30.0,
+                    )
+                    j += 2
+                else:
+                    tracker.track_rgbd_uploaded(
+                        futs[j].result(),
+                        timestamp=(ts_base + lo + j) / 30.0)
+                    j += 1
             return
         futs = tracker.prefetch_rgbd_batches(imgs[lo:hi], depths[lo:hi],
                                              batch)
@@ -157,7 +180,7 @@ def main():
             tracker.track_rgbd_batch(
                 None, None,
                 [(ts_base + i) / 30.0 for i in range(idx, idx + k)],
-                uploaded=f.result(),
+                uploaded=f.result(), paired=pair,
             )
             idx += k
 
@@ -197,6 +220,62 @@ def main():
                 best_t, best_k = per_frame, k
         return best_k, best_t
 
+    _probe_buf = [None]
+
+    def probe_step_mode(frames_per_rep=24, reps=2):
+        """Measure the live link's per-frame cost of the PIPELINED step
+        dispatch+fetch loop in both modes (per-frame vs fused pair) and
+        return pair=True iff pair is faster. Replays the real dispatch
+        pattern — async dispatch, worker-pool pack fetch, depth-6
+        in-flight window — against the current tracker state WITHOUT
+        keyframe events, so it samples RPC-path weather, not map
+        maintenance. Modes alternate (s,p,s,p) and score by their best
+        rep so both sample the same seconds of link. Outside the timed
+        window; state is untouched (programs are functional)."""
+        if PAIR_ENV is not None:
+            return PAIR_ENV not in ("0", "")
+        if _probe_buf[0] is None:
+            _probe_buf[0] = jnp.asarray(
+                tracker._pack_rgbd(imgs[0], depths[0]))
+        buf = _probe_buf[0]
+        rest = (tracker.last_frame, tracker.last_mp_dev, tracker.map,
+                tracker.pose_dev, tracker.velocity_dev,
+                jnp.int32(max(tracker.ref_kf, 0)),
+                tracker.mp_vis_dev, tracker.mp_found_dev,
+                tracker.local_mask_dev, tracker.mp_seen_dev,
+                tracker.fidx_dev)
+        pool = tracker._fetch_pool
+        depth = max(int(cfg.pipeline_depth), 1)
+
+        def run(pair):
+            pend = []
+            t0 = time.perf_counter()
+            n = frames_per_rep
+            i = 0
+            while i < n:
+                if pair:
+                    out = tracker._step2_packed(buf, buf, *rest)
+                    h = out[8]
+                    i += 2
+                else:
+                    out = tracker._step_packed(buf, *rest)
+                    h = out[4]
+                    i += 1
+                h.copy_to_host_async()
+                pend.append(pool.submit(np.asarray, h))
+                while len(pend) > depth:
+                    pend.pop(0).result()
+            for f in pend:
+                f.result()
+            tracker.sync_device()
+            return (time.perf_counter() - t0) / n
+
+        best = {False: np.inf, True: np.inf}
+        for _ in range(reps):
+            for pair in (False, True):
+                best[pair] = min(best[pair], run(pair))
+        return best[True] < best[False]
+
     t0 = time.time()
     ingest(0, N_FRAMES, 0)
     tracker.flush()
@@ -212,8 +291,11 @@ def main():
     for k in sorted(set(PROBE_CANDS) | tail_shapes - {0, 1}):
         if k > 1:
             ingest(0, k, 0, batch=k)
+            ingest(0, k, 0, batch=k, pair=True)  # _step2_from_batch[k,B]
+    ingest(0, 4, 0, pair=True)  # _step2_packed (batch=1 pair variant)
     tracker.flush()
     probe_batch(reps_frames=PROBE_CANDS[-1])
+    probe_step_mode(frames_per_rep=8, reps=1)  # probe-path warm
     print(f"[bench] warmup (full orbit, {N_FRAMES} frames + bucket "
           f"precompile) {time.time()-t0:.1f}s", file=sys.stderr)
 
@@ -232,6 +314,7 @@ def main():
     rmse = None
     rpe_t = None
     batches = []
+    pair_modes = []
     for w in range(N_WINDOWS + 1):  # +1: window 0 is an unscored settle
         # pass (residual warmup traffic — probe-handle GC, first
         # post-reset allocations — systematically depresses the first
@@ -242,8 +325,9 @@ def main():
         tracker.timer.paused = False
         tracker.sync_device()  # re-warm/GBA work must not leak into the window
         bk, bt = probe_batch()  # live-link granularity, outside the window
+        pk = probe_step_mode()  # live-link step mode, outside the window
         t0 = time.time()
-        ingest(WARMUP, N_FRAMES, (w + 1) * N_FRAMES, batch=bk)
+        ingest(WARMUP, N_FRAMES, (w + 1) * N_FRAMES, batch=bk, pair=pk)
         tracker.flush()
         dt = time.time() - t0
         if w == 0:
@@ -253,6 +337,7 @@ def main():
             tracker.timer.reset()
             continue
         batches.append(bk)
+        pair_modes.append(int(pk))
         window_fps.append((N_FRAMES - WARMUP) / dt)
         if w == 1:
             # accuracy gate on the first window (re-warm + measured frames
@@ -265,7 +350,8 @@ def main():
     print(
         f"[bench] {fps:.1f} fps (windows: "
         f"{', '.join(f'{f:.1f}' for f in window_fps)}; "
-        f"probe-chosen batch/window: {batches}), "
+        f"probe-chosen batch/window: {batches}, "
+        f"pair-step/window: {pair_modes}), "
         f"ATE {rmse*100:.2f} cm, RPE {rpe_t*100:.2f} cm/frame, "
         f"{n_kf} keyframes, state={tracker.state}",
         file=sys.stderr,

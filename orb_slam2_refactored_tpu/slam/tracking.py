@@ -153,6 +153,24 @@ class TrackerConfig:
             )
 
 
+
+def _make_host_pack(pose, vel_new, n_inl, n_mm, t_close, u_close, used_ref,
+                    tcr, n_reacq, feat_mp):
+    """One f32[27 + N] device->host pack per frame: scalars FOLLOWED BY the
+    frame's landmark assignments (`feat_mp`, exact in f32: point capacity
+    <= 2^24). Piggybacking feat_mp in the SAME transfer removes the
+    separate per-frame feat_mp readback RPC the keyframe path used to
+    prefetch — under link congestion the per-RPC service cost is
+    size-independent below ~1 MB, so one 4 KB pack costs the same as the
+    108-byte scalar pack did, and one RPC per frame(-pair) replaces two."""
+    return jnp.concatenate(
+        [pose, vel_new,
+         jnp.stack([n_inl, n_mm, t_close, u_close, used_ref]).astype(jnp.float32),
+         tcr, n_reacq.astype(jnp.float32)[None],
+         feat_mp.astype(jnp.float32)]
+    )
+
+
 class _RowFut:
     """Future-shaped view of one row of a batched pack fetch (see
     Tracker._flush_deferred_packs)."""
@@ -309,6 +327,21 @@ class Tracker:
         self._step = jax.jit(self._step_impl)
         self._step_packed = jax.jit(
             lambda buf, *rest: self._step_impl(*self._unpack_impl(buf), *rest)
+        )
+        self._step2_packed = jax.jit(
+            lambda buf_a, buf_b, *rest: self._step2_impl(
+                self._unpack_impl(buf_a), self._unpack_impl(buf_b), *rest)
+        )
+        # fused pair step sliced from a [k, B] batched upload (jit
+        # re-specializes per batch shape k): frames i and i+1 of the batch
+        # in one dispatch
+        self._step2_from_batch = jax.jit(
+            lambda b, i, *rest: self._step2_impl(
+                self._unpack_impl(jax.lax.dynamic_index_in_dim(
+                    b, i, axis=0, keepdims=False)),
+                self._unpack_impl(jax.lax.dynamic_index_in_dim(
+                    b, i + 1, axis=0, keepdims=False)),
+                *rest)
         )
         self._step_stereo = jax.jit(self._step_stereo_impl)
         self._insert_kf = jax.jit(self._insert_kf_impl, donate_argnums=(0,))
@@ -545,11 +578,8 @@ class Tracker:
         )
         vel_new = se3.compose(pose, se3.inverse(pose_last))
         n_reacq, mp_seen, fidx = self._seam_stats(found_mask, mp_seen, fidx)
-        host_pack = jnp.concatenate(
-            [pose, vel_new,
-             jnp.stack([n_inl, n_mm, t_close, u_close, used_ref]).astype(jnp.float32),
-             tcr, n_reacq.astype(jnp.float32)[None]]
-        )
+        host_pack = _make_host_pack(pose, vel_new, n_inl, n_mm, t_close,
+                                    u_close, used_ref, tcr, n_reacq, feat_mp)
         return (frame, pose, vel_new, feat_mp, host_pack,
                 mp_vis + vis_mask, mp_found + found_mask, mp_seen, fidx)
 
@@ -788,17 +818,38 @@ class Tracker:
         )
         vel_new = se3.compose(pose, se3.inverse(pose_last))
         n_reacq, mp_seen, fidx = self._seam_stats(found_mask, mp_seen, fidx)
-        host_pack = jnp.concatenate(
-            [
-                pose,
-                vel_new,
-                jnp.stack([n_inl, n_mm, t_close, u_close, used_ref]).astype(jnp.float32),
-                tcr,
-                n_reacq.astype(jnp.float32)[None],
-            ]
-        )
+        host_pack = _make_host_pack(pose, vel_new, n_inl, n_mm, t_close,
+                                    u_close, used_ref, tcr, n_reacq, feat_mp)
         return (frame, pose, vel_new, feat_mp, host_pack,
                 mp_vis + vis_mask, mp_found + found_mask, mp_seen, fidx)
+
+    def _step2_impl(self, unpacked_a, unpacked_b, last, last_mp, m,
+                    pose_last, velocity, ref_kf, mp_vis, mp_found,
+                    local_mask, mp_seen, fidx):
+        """TWO chained tracking steps in ONE compiled program.
+
+        Frame b is tracked against frame a's in-graph outputs (pose,
+        velocity, feature assignments) exactly as the software pipeline
+        would feed them — but with one dispatch RPC and one stacked
+        scalar-pack fetch for the pair instead of two of each. Under link
+        congestion every RPC pays a fixed ~10-12 ms service cost
+        independent of payload, so halving the per-frame RPC count moves
+        the congested-phase floor the same way batched uploads do.
+        Semantics match back-to-back `_step_impl` calls with no host
+        intervention between them; keyframe decisions already lag
+        `pipeline_depth` frames (the reference's mapping thread lagged
+        tracking too, `/root/reference/src/System.cc:398-411`), and the
+        map/local-mask inputs both frames see are at most one frame
+        staler than the per-frame path's."""
+        (f1, pose1, vel1, fmp1, pack1, mp_vis, mp_found, mp_seen, fidx) = \
+            self._step_impl(*unpacked_a, last, last_mp, m, pose_last,
+                            velocity, ref_kf, mp_vis, mp_found, local_mask,
+                            mp_seen, fidx)
+        (f2, pose2, vel2, fmp2, pack2, mp_vis, mp_found, mp_seen, fidx) = \
+            self._step_impl(*unpacked_b, f1, fmp1, m, pose1, vel1, ref_kf,
+                            mp_vis, mp_found, local_mask, mp_seen, fidx)
+        return (f1, pose1, vel1, fmp1, f2, pose2, vel2, fmp2,
+                jnp.stack([pack1, pack2]), mp_vis, mp_found, mp_seen, fidx)
 
     def _insert_kf_impl(
         self, m: MapArrays, slot, frame: FrameData, pose, feat_mp, new_slots
@@ -980,6 +1031,56 @@ class Tracker:
             timestamp,
         )
 
+    def track_rgbd_pair_uploaded(self, buf_a, buf_b,
+                                 ts_a: float = 0.0, ts_b: float = 0.0):
+        """Track TWO RGB-D frames from already-uploaded packed buffers via
+        the fused pair program (`_step2_impl`): one dispatch RPC + one
+        stacked pack fetch per pair. Falls back to per-frame stepping when
+        the tracker is not in pipelined OK state (init/reloc need per-frame
+        host control). Trajectory, keyframe policy and loss handling are
+        identical to two `track_rgbd_uploaded` calls."""
+        if not (self.cfg.pipelined and self.state == TrackState.OK):
+            self.track_rgbd_uploaded(buf_a, ts_a)
+            return self.track_rgbd_uploaded(buf_b, ts_b)
+        return self._run_pair(
+            lambda: self._step2_packed(
+                buf_a, buf_b,
+                self.last_frame, self.last_mp_dev, self.map,
+                self.pose_dev, self.velocity_dev, self._ref_kf_scalar(),
+                self.mp_vis_dev, self.mp_found_dev, self.local_mask_dev,
+                self.mp_seen_dev, self.fidx_dev,
+            ),
+            ts_a, ts_b,
+        )
+
+    def _run_pair(self, step2_fn, ts_a: float, ts_b: float):
+        """Dispatch a fused pair step and enqueue BOTH frames into the
+        software pipeline (two entries sharing one batched pack fetch via
+        `_RowFut`), then run the per-frame host epilogue twice."""
+        with self.timer.time("track.dispatch"):
+            (f1, pose1, vel1, fmp1, f2, pose2, vel2, fmp2, packs,
+             self.mp_vis_dev, self.mp_found_dev,
+             self.mp_seen_dev, self.fidx_dev) = step2_fn()
+        packs.copy_to_host_async()
+        fut = self._fetch_pool.submit(np.asarray, packs)
+        q = getattr(self, "_pending_q", None)
+        if q is None:
+            q = self._pending_q = []
+        q.append((f1, pose1, vel1, fmp1, _RowFut(fut, 0), ts_a, self.ref_kf))
+        q.append((f2, pose2, vel2, fmp2, _RowFut(fut, 1), ts_b, self.ref_kf))
+        self.pose_dev, self.velocity_dev = pose2, vel2
+        self.last_frame = f2
+        self.last_mp_dev = fmp2
+        for _ in range(2):  # the per-frame host epilogue, twice
+            while len(q) > max(int(self.cfg.pipeline_depth), 1):
+                with self.timer.time("track.finalize"):
+                    self._finalize_pending(q.pop(0))
+                if self.state != TrackState.OK:
+                    break  # loss drained the queue inside finalize
+            self._pump_mapping()
+            self.frame_id += 1
+        return self.pose
+
     def upload_rgbd_batch(self, imgs, depths):
         """Pack + upload k RGB-D frames as ONE host->device transfer.
 
@@ -994,7 +1095,8 @@ class Tracker:
         bufs = np.stack([self._pack_rgbd(i, d) for i, d in zip(imgs, depths)])
         return jnp.asarray(bufs)
 
-    def track_rgbd_batch(self, imgs, depths, timestamps=None, uploaded=None):
+    def track_rgbd_batch(self, imgs, depths, timestamps=None, uploaded=None,
+                         paired: bool = False):
         """Track k RGB-D frames from one batched upload (see
         `upload_rgbd_batch`; pass `uploaded` to double-buffer: upload batch
         j+1 before stepping batch j). Steps still run strictly
@@ -1038,6 +1140,43 @@ class Tracker:
                  and k <= max(int(self.cfg.pipeline_depth), 1)
                  and bool(_os.environ.get("TPU_SLAM_DEFER_PACKS")))
         poses = []
+        if paired:
+            # fused pair stepping within the batch: one dispatch RPC + one
+            # stacked pack fetch per TWO frames (see `_step2_impl`); odd
+            # tail frames fall through to the per-frame path below
+            i = 0
+            while i + 1 < k and self.cfg.pipelined \
+                    and self.state == TrackState.OK:
+                self._run_pair(
+                    lambda i=i: self._step2_from_batch(
+                        batch, jnp.int32(i),
+                        self.last_frame, self.last_mp_dev, self.map,
+                        self.pose_dev, self.velocity_dev,
+                        self._ref_kf_scalar(),
+                        self.mp_vis_dev, self.mp_found_dev,
+                        self.local_mask_dev, self.mp_seen_dev,
+                        self.fidx_dev,
+                    ),
+                    timestamps[i], timestamps[i + 1],
+                )
+                poses.extend([self.pose, self.pose])
+                i += 2
+            for j in range(i, k):
+                poses.append(self._run_frame(
+                    lambda j=j: self._prepare_packed(
+                        self._slice_frame(batch, jnp.int32(j))),
+                    lambda j=j: self._step_from_batch(
+                        batch, jnp.int32(j),
+                        self.last_frame, self.last_mp_dev, self.map,
+                        self.pose_dev, self.velocity_dev,
+                        self._ref_kf_scalar(),
+                        self.mp_vis_dev, self.mp_found_dev,
+                        self.local_mask_dev, self.mp_seen_dev,
+                        self.fidx_dev,
+                    ),
+                    timestamps[j],
+                ))
+            return poses
         for i in range(k):
             poses.append(self._run_frame(
                 lambda i=i: self._prepare_packed(
@@ -1142,11 +1281,9 @@ class Tracker:
                 n_reacq, mp_seen, fidx = self._seam_stats(
                     found_mask, mp_seen, fidx
                 )
-                host_pack = jnp.concatenate(
-                    [pose, vel_new,
-                     jnp.stack([n_inl, n_mm, t_close, u_close, used_ref]).astype(jnp.float32),
-                     tcr, n_reacq.astype(jnp.float32)[None]]
-                )
+                host_pack = _make_host_pack(pose, vel_new, n_inl, n_mm,
+                                            t_close, u_close, used_ref,
+                                            tcr, n_reacq, feat_mp)
                 return (fr, pose, vel_new, feat_mp, host_pack,
                         mp_vis + vis_mask, mp_found + found_mask,
                         mp_seen, fidx)
@@ -1306,7 +1443,6 @@ class Tracker:
         # packs into ONE device array and ONE fetch — each per-frame fetch
         # RPC pays a fixed service cost under congestion, so k frames per
         # read move the floor the same way k frames per upload do.
-        feat_mp_dev.copy_to_host_async()
         if defer_fetch:
             pack_fut = host_pack  # raw handle; caller patches in a future
         else:
@@ -1381,7 +1517,9 @@ class Tracker:
             save = (self.last_frame, self.last_mp_dev, self.last_mp,
                     self.pose_dev, self.velocity_dev)
             pose_np = self.pose.copy()
-            self._create_keyframe(frame, np.asarray(feat_mp_dev), ts,
+            feat_np = (pack[27:].astype(np.int32) if pack.shape[0] > 27
+                       else np.asarray(feat_mp_dev))
+            self._create_keyframe(frame, feat_np, ts,
                                   feat_mp_dev=feat_mp_dev)
             (self.last_frame, self.last_mp_dev, self.last_mp,
              self.pose_dev, self.velocity_dev) = save
@@ -1446,7 +1584,9 @@ class Tracker:
             if self._seam_check(int(pack[26])):
                 need_kf = True
             if need_kf:
-                slot = self._create_keyframe(frame, np.asarray(feat_mp_dev),
+                feat_np = (pack[27:].astype(np.int32) if pack.shape[0] > 27
+                           else np.asarray(feat_mp_dev))
+                slot = self._create_keyframe(frame, feat_np,
                                              timestamp, feat_mp_dev=feat_mp_dev)
                 if slot < 0:  # capacity-frozen map: keep frame assignments
                     self.last_mp_dev = feat_mp_dev
