@@ -20,6 +20,7 @@ trajectory recording. TPU-first redesign:
 from __future__ import annotations
 
 import dataclasses
+import os
 from concurrent.futures import ThreadPoolExecutor
 from functools import partial
 from typing import List, Optional, Tuple
@@ -289,7 +290,15 @@ class Tracker:
         self._loop_pending = None    # async loop-detection scores
         # worker thread for per-frame scalar-pack fetches (device->host
         # transfers release the GIL; the frame loop keeps dispatching)
-        self._fetch_pool = ThreadPoolExecutor(1, "track-fetch")
+        # pack-readback workers: each blocking np.asarray holds a worker
+        # for ~one tunnel RT (~24 ms), so ONE thread caps fetch throughput
+        # at ~40/s — below the frame rate in per-frame step mode. Several
+        # workers overlap their RPC service times exactly like the upload
+        # pool's (futures keep per-frame ordering; each fetch targets a
+        # distinct array, so worker count does not affect results).
+        self._fetch_pool = ThreadPoolExecutor(
+            int(os.environ.get("TPU_SLAM_FETCH_THREADS", "3")),
+            "track-fetch")
 
         self.pose = np.asarray(se3.identity())
         self.velocity = np.asarray(se3.identity())
