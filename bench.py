@@ -199,28 +199,65 @@ def main():
             _force_progs[h.shape] = jax.jit(lambda a: a.reshape(-1)[:1])
         np.asarray(_force_progs[h.shape](h))
 
-    def probe_batch(reps_frames=8):
+    _probe_buf = [None]
+
+    def _probe_rest():
+        return (tracker.last_frame, tracker.last_mp_dev, tracker.map,
+                tracker.pose_dev, tracker.velocity_dev,
+                jnp.int32(max(tracker.ref_kf, 0)),
+                tracker.mp_vis_dev, tracker.mp_found_dev,
+                tracker.local_mask_dev, tracker.mp_seen_dev,
+                tracker.fidx_dev)
+
+    def probe_batch(reps_frames=8, pair=False):
         """Measure the live link's per-frame ingest cost at each batch
         granularity (real pack+upload path, forced completion) and return
-        the fastest. Runs OUTSIDE the timed window."""
+        the fastest. The probe keeps step dispatch+fetch traffic of the
+        ALREADY-CHOSEN step mode (`pair`) on the link while timing, so the
+        (batch, pair) combination is measured jointly rather than in
+        isolation (ADVICE r4 #4). Runs OUTSIDE the timed window; tracker
+        state is untouched (programs are functional)."""
         if BATCH_ENV is not None:
             return int(BATCH_ENV), 0.0
         buf = tracker._pack_rgbd(imgs[0], depths[0])
+        if _probe_buf[0] is None:
+            _probe_buf[0] = jnp.asarray(buf)
+        sbuf = _probe_buf[0]
+        rest = _probe_rest()
+        pool = tracker._fetch_pool
+        depth = max(int(cfg.pipeline_depth), 1)
         best_k, best_t = 1, np.inf
         for k in PROBE_CANDS:
             payload = (np.ascontiguousarray(np.repeat(buf[None], k, 0))
                        if k > 1 else buf)
             n_tx = max(reps_frames // k, 2)
+            pend = []
             t0 = time.perf_counter()
-            handles = [jnp.asarray(payload) for _ in range(n_tx)]
+            handles = []
+            for _ in range(n_tx):
+                handles.append(jnp.asarray(payload))
+                # one step's worth of dispatch+readback per ingested frame,
+                # in the mode the window will actually run
+                n_steps = (k + 1) // 2 if pair else k
+                for _ in range(n_steps):
+                    if pair:
+                        out = tracker._step2_packed(sbuf, sbuf, *rest)
+                        h = out[8]
+                    else:
+                        out = tracker._step_packed(sbuf, *rest)
+                        h = out[4]
+                    h.copy_to_host_async()
+                    pend.append(pool.submit(np.asarray, h))
+                    while len(pend) > depth:
+                        pend.pop(0).result()
             for h in handles:
                 _force(h)
+            for f in pend:
+                f.result()
             per_frame = (time.perf_counter() - t0) / (n_tx * k)
             if per_frame < best_t:
                 best_t, best_k = per_frame, k
         return best_k, best_t
-
-    _probe_buf = [None]
 
     def probe_step_mode(frames_per_rep=24, reps=2):
         """Measure the live link's per-frame cost of the PIPELINED step
@@ -324,8 +361,9 @@ def main():
         ingest(0, WARMUP, (w + 1) * N_FRAMES)
         tracker.timer.paused = False
         tracker.sync_device()  # re-warm/GBA work must not leak into the window
-        bk, bt = probe_batch()  # live-link granularity, outside the window
         pk = probe_step_mode()  # live-link step mode, outside the window
+        # granularity probed UNDER the chosen step mode's link traffic
+        bk, bt = probe_batch(pair=pk)
         t0 = time.time()
         ingest(WARMUP, N_FRAMES, (w + 1) * N_FRAMES, batch=bk, pair=pk)
         tracker.flush()
@@ -407,8 +445,308 @@ def main():
     except Exception as e:  # breakdown must never break the metric line
         print(f"[bench] breakdown failed: {e}", file=sys.stderr)
 
+    # ---- ORBvoc-regime probe (VERDICT r4 #6): per-KF place-recognition
+    # cost at the reference's ~1M-word vocabulary scale, measured on the
+    # real chip, with loop closing proven live under the injected vocab ----
+    if os.environ.get("BENCH_ORBVOC", "1") not in ("0", ""):
+        try:
+            run_orbvoc_probe(imgs, depths, cfg)
+        except Exception as e:
+            import traceback
+            traceback.print_exc(file=sys.stderr)
+            print(f"[bench] orbvoc probe failed: {e}", file=sys.stderr)
+
+    # ---- stereo segment (VERDICT r4 #2): second scored metric ----
+    # The reference's flagship modality is stereo KITTI
+    # (`Examples/Stereo/stereo_kitti.cc`); this measures the packed-wire
+    # stereo path (one uint8 upload per pair, pipelined + pair-fusable
+    # stepping) on the same orbit. Its JSON line prints BEFORE the primary
+    # rgbd line; failures here never break the primary metric.
+    if os.environ.get("BENCH_STEREO", "1") not in ("0", ""):
+        try:
+            run_stereo_bench(gt)
+        except Exception as e:
+            import traceback
+            traceback.print_exc(file=sys.stderr)
+            print(f"[bench] stereo segment failed: {e}", file=sys.stderr)
+
     print(json.dumps({
         "metric": "rgbd_tracking_fps_vga",
+        "value": round(fps, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / BASELINE_FPS, 3) if gate_ok else 0.0,
+    }))
+
+
+def _orbvoc_vocab(imgs, n_words_big):
+    """Build (and cache) an ORBvoc-scale vocabulary: 4096 words TRAINED on
+    this scene's descriptors (so BoW overlap behaves like a real trained
+    vocab) padded to `n_words_big` with random far codes (so quantize/score
+    pay the FULL W cost — cost depends on W, not code content). The
+    reference always runs at this scale (`build.sh:22-24` ORBvoc.txt)."""
+    import jax.numpy as jnp
+
+    from orb_slam2_refactored_tpu.slam.vocabulary import (
+        Vocabulary, train_vocabulary,
+    )
+
+    cache = os.path.join(os.path.dirname(CACHE), f"orbvoc_{n_words_big}.npz")
+    if os.path.exists(cache):
+        z = np.load(cache)
+        return Vocabulary(words=jnp.asarray(z["words"]),
+                          idf=jnp.asarray(z["idf"]))
+    from orb_slam2_refactored_tpu.ops.orb import OrbExtractor
+
+    ex = OrbExtractor(480, 640, n_features=1000, n_levels=8)
+    descs = []
+    for i in range(0, len(imgs), max(len(imgs) // 8, 1)):
+        f = ex(np.asarray(imgs[i]))
+        d = np.asarray(f.desc)[np.asarray(f.valid)]
+        descs.append(d)
+    desc = np.concatenate(descs)
+    voc = train_vocabulary(desc, n_words=4096, iters=6)
+    rng = np.random.default_rng(0)
+    pad = rng.integers(0, 2 ** 32, (n_words_big - voc.n_words, 8),
+                       dtype=np.uint32)
+    words = np.concatenate([np.asarray(voc.words), pad])
+    idf = np.ones((n_words_big,), np.float32)
+    np.savez(cache, words=words, idf=idf)
+    return Vocabulary(words=jnp.asarray(words), idf=jnp.asarray(idf))
+
+
+def run_orbvoc_probe(imgs, depths, cfg):
+    """One orbit with a 1M-word injected vocabulary: prove loop closing
+    still fires and state the per-KF quantize+BoW / KFDB-scoring cost."""
+    import jax.numpy as jnp
+
+    from orb_slam2_refactored_tpu.slam.tracking import Tracker
+
+    W_BIG = int(os.environ.get("BENCH_ORBVOC_WORDS", "1000000"))
+    t0 = time.time()
+    voc = _orbvoc_vocab(imgs, W_BIG)
+    tracker = Tracker(cfg)
+    tracker.set_vocabulary(voc)
+    futs = tracker.prefetch_rgbd(imgs, depths)
+    for j, f in enumerate(futs):
+        tracker.track_rgbd_uploaded(f.result(), timestamp=j / 30.0)
+    tracker.flush()
+    if tracker.loop_closer is None:
+        print("[bench] orbvoc probe: no keyframes indexed", file=sys.stderr)
+        return
+    loops = tracker.loop_closer.loops_closed
+    db = tracker.loop_closer.db
+    desc = tracker.map.kf_desc[0]
+    val = tracker.map.kf_feat_valid[0]
+
+    def timeit(fn, reps=10):
+        out = fn()
+        np.asarray(jax.tree_util.tree_leaves(out)[0].ravel()[:1])
+        tt = time.perf_counter()
+        for _ in range(reps):
+            out = fn()
+        np.asarray(jax.tree_util.tree_leaves(out)[0].ravel()[:1])
+        return (time.perf_counter() - tt) / reps
+
+    t_bow = timeit(lambda: db._count(desc, val))
+    (ids, cnt), _ = db.compute_bow(desc, val)
+    t_score = timeit(lambda: db._scores2(db.bow_ids, db.bow_cnt, ids, cnt,
+                                         db.idf))
+    print(f"[bench] orbvoc regime (W={W_BIG}): quantize+BoW "
+          f"{t_bow*1e3:.1f} ms/KF, KFDB score-all {t_score*1e3:.2f} ms, "
+          f"loops closed {loops}, "
+          f"{len(tracker.graph.alive_kfs())} keyframes "
+          f"(probe total {time.time()-t0:.0f}s)", file=sys.stderr)
+    if loops < 1:
+        print("[bench] orbvoc WARNING: no loop closed under the 1M-word "
+              "vocabulary", file=sys.stderr)
+
+
+def get_stereo_frames(gt):
+    """Rectified L/R pairs over the same orbit (cached)."""
+    from orb_slam2_refactored_tpu.io.synthetic import (
+        SyntheticScene, box_room,
+    )
+
+    cache = os.path.join(os.path.dirname(CACHE),
+                         f"vga_stereo_{N_FRAMES}.npz")
+    if os.path.exists(cache):
+        z = np.load(cache)
+        return z["left"], z["right"]
+    planes = box_room(half_x=1.8, half_y=1.4, z_far=3.0, z_near=-3.0)
+    scene = SyntheticScene(width=640, height=480, fx=520.0, fy=520.0,
+                           planes=planes, baseline=0.08)
+    left = np.zeros((N_FRAMES, 480, 640), np.uint8)
+    right = np.zeros((N_FRAMES, 480, 640), np.uint8)
+    for i in range(N_FRAMES):
+        l, r, _ = scene.render_stereo(gt[i])
+        left[i] = np.clip(l, 0, 255).astype(np.uint8)
+        right[i] = np.clip(r, 0, 255).astype(np.uint8)
+    np.savez_compressed(cache, left=left, right=right)
+    return left, right
+
+
+def run_stereo_bench(gt):
+    """Measure stereo tracking fps on the packed wire path; prints ONE
+    JSON line (stereo_tracking_fps_vga) with its own 3 cm ATE hard gate."""
+    import jax.numpy as jnp
+
+    from orb_slam2_refactored_tpu.io.evaluation import ate_rmse, rpe
+    from orb_slam2_refactored_tpu.slam.map_state import MapCapacity
+    from orb_slam2_refactored_tpu.slam.tracking import Tracker, TrackerConfig
+
+    t0 = time.time()
+    left, right = get_stereo_frames(gt)
+    print(f"[bench] stereo frames ready in {time.time()-t0:.1f}s",
+          file=sys.stderr)
+    cfg = TrackerConfig(
+        width=640, height=480, fx=520.0, fy=520.0, cx=320.0, cy=240.0,
+        bf=0.08 * 520.0, n_features=1000, n_levels=8, pipelined=True,
+        pipeline_depth=int(os.environ.get("BENCH_PIPE", "6")),
+        map_capacity=MapCapacity(max_keyframes=128, max_points=32768,
+                                 max_features=1000),
+    )
+    tracker = Tracker(cfg)
+    PAIR_ENV = os.environ.get("BENCH_STEREO_PAIR")
+
+    def ingest(lo, hi, ts_base, pair=True):
+        futs = tracker.prefetch_stereo(left[lo:hi], right[lo:hi])
+        j = 0
+        n = hi - lo
+        while j < n:
+            if pair and j + 1 < n:
+                tracker.track_stereo_pair_uploaded(
+                    futs[j].result(), futs[j + 1].result(),
+                    (ts_base + lo + j) / 30.0,
+                    (ts_base + lo + j + 1) / 30.0,
+                )
+                j += 2
+            else:
+                tracker.track_stereo_uploaded(
+                    futs[j].result(), timestamp=(ts_base + lo + j) / 30.0)
+                j += 1
+
+    def probe_pair(frames_per_rep=16, reps=2):
+        """Pair-vs-single step probe on the live link (the stereo mirror of
+        the rgbd probe_step_mode; state untouched)."""
+        if PAIR_ENV is not None:
+            return PAIR_ENV not in ("0", "")
+        buf = getattr(tracker, "_probe_sbuf", None)
+        if buf is None:
+            buf = tracker._probe_sbuf = jnp.asarray(
+                tracker._pack_stereo(left[0], right[0]))
+        rest = (tracker.last_frame, tracker.last_mp_dev, tracker.map,
+                tracker.pose_dev, tracker.velocity_dev,
+                jnp.int32(max(tracker.ref_kf, 0)),
+                tracker.mp_vis_dev, tracker.mp_found_dev,
+                tracker.local_mask_dev, tracker.mp_seen_dev,
+                tracker.fidx_dev)
+        pool = tracker._fetch_pool
+        depth = max(int(cfg.pipeline_depth), 1)
+
+        def run(pair):
+            pend = []
+            t0 = time.perf_counter()
+            i = 0
+            while i < frames_per_rep:
+                if pair:
+                    out = tracker._step2_stereo_packed(buf, buf, *rest)
+                    h = out[8]
+                    i += 2
+                else:
+                    out = tracker._step_stereo_packed(buf, *rest)
+                    h = out[4]
+                    i += 1
+                h.copy_to_host_async()
+                pend.append(pool.submit(np.asarray, h))
+                while len(pend) > depth:
+                    pend.pop(0).result()
+            for f in pend:
+                f.result()
+            tracker.sync_device()
+            return (time.perf_counter() - t0) / frames_per_rep
+
+        best = {False: np.inf, True: np.inf}
+        for _ in range(reps):
+            for pair in (False, True):
+                best[pair] = min(best[pair], run(pair))
+        return best[True] < best[False]
+
+    # warmup: one full orbit (compiles per-frame + pair + KF/loop programs)
+    t0 = time.time()
+    ingest(0, N_FRAMES, 0, pair=False)
+    ingest(0, 4, 0, pair=True)
+    tracker.flush()
+    if tracker.loop_closer is not None:
+        tracker.loop_closer.db.refit_idf()
+    tracker.warm_stage_programs()
+    probe_pair(frames_per_rep=8, reps=1)
+    print(f"[bench] stereo warmup (full orbit) {time.time()-t0:.1f}s",
+          file=sys.stderr)
+
+    n_windows = int(os.environ.get("BENCH_STEREO_WINDOWS", "5"))
+    tracker.timer.reset()
+    window_fps = []
+    rmse = None
+    pair_modes = []
+    for w in range(n_windows + 1):  # window 0 = unscored settle
+        tracker.reset_map()
+        tracker.timer.paused = True
+        ingest(0, WARMUP, (w + 1) * N_FRAMES, pair=False)
+        tracker.timer.paused = False
+        tracker.sync_device()
+        pk = probe_pair()
+        t0 = time.time()
+        ingest(WARMUP, N_FRAMES, (w + 1) * N_FRAMES, pair=pk)
+        tracker.flush()
+        dt = time.time() - t0
+        if w == 0:
+            print(f"[bench] stereo settle window: "
+                  f"{(N_FRAMES - WARMUP) / dt:.1f} fps (unscored)",
+                  file=sys.stderr)
+            tracker.timer.reset()
+            continue
+        pair_modes.append(int(pk))
+        window_fps.append((N_FRAMES - WARMUP) / dt)
+        if w == 1:
+            est = np.stack(tracker.trajectory[-N_FRAMES:])
+            rmse, _ = ate_rmse(est, gt[:N_FRAMES], align="se3")
+            rpe_t, _ = rpe(est, gt[:N_FRAMES])
+    fps = float(np.median(window_fps))
+    print(
+        f"[bench] stereo: {fps:.1f} fps (windows: "
+        f"{', '.join(f'{f:.1f}' for f in window_fps)}; "
+        f"pair-step/window: {pair_modes}), ATE {rmse*100:.2f} cm, "
+        f"RPE {rpe_t*100:.2f} cm/frame, "
+        f"{len(tracker.graph.alive_kfs())} keyframes",
+        file=sys.stderr,
+    )
+    # device step time for the published split
+    try:
+        buf = jnp.asarray(tracker._pack_stereo(left[-1], right[-1]))
+        args = (buf, tracker.last_frame, tracker.last_mp_dev, tracker.map,
+                tracker.pose_dev, tracker.velocity_dev,
+                jnp.int32(max(tracker.ref_kf, 0)), tracker.mp_vis_dev,
+                tracker.mp_found_dev, tracker.local_mask_dev,
+                tracker.mp_seen_dev, tracker.fidx_dev)
+        out = tracker._step_stereo_packed(*args)
+        np.asarray(jax.tree_util.tree_leaves(out)[0].ravel()[:1])
+        t0 = time.perf_counter()
+        for _ in range(10):
+            out = tracker._step_stereo_packed(*args)
+        np.asarray(jax.tree_util.tree_leaves(out)[0].ravel()[:1])
+        t_step = (time.perf_counter() - t0) / 10
+        print(f"[bench] stereo device: step {t_step*1e3:.1f} ms -> "
+              f"device-bound ~{1.0/t_step:.0f} fps vs link-inclusive "
+              f"{fps:.1f} fps", file=sys.stderr)
+    except Exception as e:
+        print(f"[bench] stereo breakdown failed: {e}", file=sys.stderr)
+    gate_ok = rmse <= ATE_GATE_M
+    if not gate_ok:
+        print(f"[bench] stereo FAIL: ATE {rmse:.3f} m exceeds the "
+              f"{ATE_GATE_M} m gate — scoring vs_baseline as 0",
+              file=sys.stderr)
+    print(json.dumps({
+        "metric": "stereo_tracking_fps_vga",
         "value": round(fps, 2),
         "unit": "frames/s",
         "vs_baseline": round(fps / BASELINE_FPS, 3) if gate_ok else 0.0,

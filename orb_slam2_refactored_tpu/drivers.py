@@ -33,6 +33,11 @@ def _report(times, system: SlamSystem, out: str, kf_out: str, kitti_out: str):
     if times:
         print(f"median tracking time: {times[len(times) // 2]:.4f}")
         print(f"mean tracking time: {sum(times) / len(times):.4f}")
+    lc = getattr(getattr(system, "tracker", None), "loop_closer", None)
+    if lc is not None:
+        # observability line (the reference prints "Loop detected!",
+        # src/LoopClosing.cc:523); driver-level tests assert on it
+        print(f"loops closed: {lc.loops_closed}")
     if out:
         system.save_trajectory_tum(out)
         print(f"trajectory saved to {out}")

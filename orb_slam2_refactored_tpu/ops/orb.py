@@ -93,11 +93,36 @@ def get_pattern(name: str) -> np.ndarray:
 
 
 @functools.lru_cache(maxsize=1)
+def _umax_table() -> np.ndarray:
+    """The reference's circular-patch rim table (`src/ORBextractor.cc:704-719`):
+    umax[v] = half-width of row v of the radius-15 patch, built with cvRound
+    and a symmetry fix. NOT identical to floor(sqrt(r^2-v^2)): it admits a
+    ring of rim pixels (e.g. (+-15, +-1)) a plain x^2+y^2<=r^2 mask excludes,
+    which shifts IC angles by ~4 deg median on texture — so we transcribe
+    the exact table (tests/test_orb_parity.py asserts exact angle parity)."""
+    half = HALF_PATCH
+    umax = np.zeros(half + 2, np.int64)
+    vmax = int(np.floor(half * np.sqrt(2.0) / 2 + 1))
+    vmin = int(np.ceil(half * np.sqrt(2.0) / 2))
+    for v in range(vmax + 1):
+        umax[v] = int(np.rint(np.sqrt(half * half - v * v)))
+    v0 = 0
+    for v in range(half, vmin - 1, -1):
+        while umax[v0] == umax[v0 + 1]:
+            v0 += 1
+        umax[v] = v0
+        v0 += 1
+    return umax[: half + 1]
+
+
+@functools.lru_cache(maxsize=1)
 def circular_patch_masks() -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """(mask, x*mask, y*mask) over the 31x31 patch, circular radius 15 —
-    the IC_Angle moment weights (src/ORBextractor.cc:74-101)."""
+    """(mask, x*mask, y*mask) over the 31x31 patch — the IC_Angle moment
+    weights (src/ORBextractor.cc:74-101), using the reference's exact umax
+    rim (see `_umax_table`)."""
+    umax = _umax_table()
     ys, xs = np.mgrid[-HALF_PATCH : HALF_PATCH + 1, -HALF_PATCH : HALF_PATCH + 1]
-    mask = (xs * xs + ys * ys <= HALF_PATCH * HALF_PATCH).astype(np.float32)
+    mask = (np.abs(xs) <= umax[np.abs(ys)]).astype(np.float32)
     return mask, (xs * mask).astype(np.float32), (ys * mask).astype(np.float32)
 
 
