@@ -135,7 +135,8 @@ def main():
     # padding-bucket variant of the keyframe-stage programs.
     import jax.numpy as jnp
 
-    PAIR_ENV = os.environ.get("BENCH_PAIR")  # "1"/"0" force; unset = probe
+    PAIR_ENV = os.environ.get("BENCH_PAIR")  # "1"/"2"/"4" force a step
+    # fusion granularity; unset = probe per window
     # fused 2-frame stepping (`Tracker._step2_impl`): one dispatch RPC +
     # one stacked pack fetch per TWO frames. Orthogonal to upload
     # granularity — transfer sizes are unchanged, only the per-frame RPC
@@ -145,21 +146,29 @@ def main():
     # benchmarks/ab_pair.py), so whether pair wins is purely a link-regime
     # question — probed per window below, like the upload granularity.
 
-    def ingest(lo, hi, ts_base, batch=1, pair=False):
+    def ingest(lo, hi, ts_base, batch=1, mode=1):
         """Uploads always stream from the prefetch pool (off the dispatch
         thread); `batch` frames ride each transfer. The link has two
         regimes — bandwidth-bound (per-frame transfers win: no head-of-line
         blocking; 111 vs 59 fps measured k=1 vs k=4) and congested with a
-        fixed per-RPC service cost independent of payload size (pairs win:
-        60 -> 80 fps measured at k=2) — so the measured loop probes the
-        live link and picks `batch` per window (see probe_batch). Step
-        dispatch rides the fused pair program when `pair` (default on)."""
+        fixed per-RPC service cost independent of payload size (fused steps
+        win: 60 -> 80 fps measured at k=2) — so the measured loop probes
+        the live link and picks `batch` per window (see probe_batch). Step
+        dispatch granularity is `mode` frames per RPC (1 = per-frame,
+        2 = fused pair, 4 = chained quad — VERDICT r4 #9)."""
         if batch <= 1:
             futs = tracker.prefetch_rgbd(imgs[lo:hi], depths[lo:hi])
             j = 0
             n = hi - lo
             while j < n:
-                if pair and j + 1 < n:
+                rem = n - j
+                if mode >= 4 and rem >= 4:
+                    tracker.track_rgbd_chain_uploaded(
+                        [futs[j + i].result() for i in range(4)],
+                        [(ts_base + lo + j + i) / 30.0 for i in range(4)],
+                    )
+                    j += 4
+                elif mode >= 2 and rem >= 2:
                     tracker.track_rgbd_pair_uploaded(
                         futs[j].result(), futs[j + 1].result(),
                         (ts_base + lo + j) / 30.0,
@@ -180,7 +189,7 @@ def main():
             tracker.track_rgbd_batch(
                 None, None,
                 [(ts_base + i) / 30.0 for i in range(idx, idx + k)],
-                uploaded=f.result(), paired=pair,
+                uploaded=f.result(), paired=mode >= 2,
             )
             idx += k
 
@@ -261,36 +270,35 @@ def main():
 
     def probe_step_mode(frames_per_rep=24, reps=2):
         """Measure the live link's per-frame cost of the PIPELINED step
-        dispatch+fetch loop in both modes (per-frame vs fused pair) and
-        return pair=True iff pair is faster. Replays the real dispatch
-        pattern — async dispatch, worker-pool pack fetch, depth-6
-        in-flight window — against the current tracker state WITHOUT
-        keyframe events, so it samples RPC-path weather, not map
-        maintenance. Modes alternate (s,p,s,p) and score by their best
-        rep so both sample the same seconds of link. Outside the timed
-        window; state is untouched (programs are functional)."""
+        dispatch+fetch loop at each fusion granularity (per-frame / fused
+        pair / chained quad) and return the fastest mode (1, 2 or 4).
+        Replays the real dispatch pattern — async dispatch, worker-pool
+        pack fetch, depth-6 in-flight window — against the current tracker
+        state WITHOUT keyframe events, so it samples RPC-path weather, not
+        map maintenance. Modes alternate per rep so all sample the same
+        seconds of link. Outside the timed window; state is untouched
+        (programs are functional)."""
         if PAIR_ENV is not None:
-            return PAIR_ENV not in ("0", "")
+            return int(PAIR_ENV) if PAIR_ENV.isdigit() else 1
         if _probe_buf[0] is None:
             _probe_buf[0] = jnp.asarray(
                 tracker._pack_rgbd(imgs[0], depths[0]))
         buf = _probe_buf[0]
-        rest = (tracker.last_frame, tracker.last_mp_dev, tracker.map,
-                tracker.pose_dev, tracker.velocity_dev,
-                jnp.int32(max(tracker.ref_kf, 0)),
-                tracker.mp_vis_dev, tracker.mp_found_dev,
-                tracker.local_mask_dev, tracker.mp_seen_dev,
-                tracker.fidx_dev)
+        rest = _probe_rest()
         pool = tracker._fetch_pool
         depth = max(int(cfg.pipeline_depth), 1)
 
-        def run(pair):
+        def run(mode):
             pend = []
             t0 = time.perf_counter()
             n = frames_per_rep
             i = 0
             while i < n:
-                if pair:
+                if mode >= 4:
+                    out = tracker._stepk_packed((buf, buf, buf, buf), *rest)
+                    h = out[1]
+                    i += 4
+                elif mode == 2:
                     out = tracker._step2_packed(buf, buf, *rest)
                     h = out[8]
                     i += 2
@@ -307,11 +315,11 @@ def main():
             tracker.sync_device()
             return (time.perf_counter() - t0) / n
 
-        best = {False: np.inf, True: np.inf}
+        best = {1: np.inf, 2: np.inf, 4: np.inf}
         for _ in range(reps):
-            for pair in (False, True):
-                best[pair] = min(best[pair], run(pair))
-        return best[True] < best[False]
+            for mode in (1, 2, 4):
+                best[mode] = min(best[mode], run(mode))
+        return min(best, key=best.get)
 
     t0 = time.time()
     ingest(0, N_FRAMES, 0)
@@ -328,8 +336,9 @@ def main():
     for k in sorted(set(PROBE_CANDS) | tail_shapes - {0, 1}):
         if k > 1:
             ingest(0, k, 0, batch=k)
-            ingest(0, k, 0, batch=k, pair=True)  # _step2_from_batch[k,B]
-    ingest(0, 4, 0, pair=True)  # _step2_packed (batch=1 pair variant)
+            ingest(0, k, 0, batch=k, mode=2)  # _step2_from_batch[k,B]
+    ingest(0, 4, 0, mode=2)  # _step2_packed (batch=1 pair variant)
+    ingest(0, 8, 0, mode=4)  # _stepk_packed (chained quad, VERDICT r4 #9)
     tracker.flush()
     probe_batch(reps_frames=PROBE_CANDS[-1])
     probe_step_mode(frames_per_rep=8, reps=1)  # probe-path warm
@@ -363,9 +372,9 @@ def main():
         tracker.sync_device()  # re-warm/GBA work must not leak into the window
         pk = probe_step_mode()  # live-link step mode, outside the window
         # granularity probed UNDER the chosen step mode's link traffic
-        bk, bt = probe_batch(pair=pk)
+        bk, bt = probe_batch(pair=pk >= 2)
         t0 = time.time()
-        ingest(WARMUP, N_FRAMES, (w + 1) * N_FRAMES, batch=bk, pair=pk)
+        ingest(WARMUP, N_FRAMES, (w + 1) * N_FRAMES, batch=bk, mode=pk)
         tracker.flush()
         dt = time.time() - t0
         if w == 0:
@@ -385,11 +394,15 @@ def main():
             rpe_t, rpe_r = rpe(est, gt[:N_FRAMES])
     fps = float(np.median(window_fps))
     n_kf = len(tracker.graph.alive_kfs())
+    n_loops = (tracker.loop_closer.loops_closed
+               if tracker.loop_closer is not None else 0)
+    print(f"[bench] loops closed (live 512-word vocab, all windows): "
+          f"{n_loops}", file=sys.stderr)
     print(
         f"[bench] {fps:.1f} fps (windows: "
         f"{', '.join(f'{f:.1f}' for f in window_fps)}; "
         f"probe-chosen batch/window: {batches}, "
-        f"pair-step/window: {pair_modes}), "
+        f"step-mode/window: {pair_modes}), "
         f"ATE {rmse*100:.2f} cm, RPE {rpe_t*100:.2f} cm/frame, "
         f"{n_kf} keyframes, state={tracker.state}",
         file=sys.stderr,
@@ -504,11 +517,11 @@ def _orbvoc_vocab(imgs, n_words_big):
         d = np.asarray(f.desc)[np.asarray(f.valid)]
         descs.append(d)
     desc = np.concatenate(descs)
-    voc = train_vocabulary(desc, n_words=4096, iters=6)
+    voc = train_vocabulary(desc, n_words=min(4096, n_words_big), iters=6)
     rng = np.random.default_rng(0)
-    pad = rng.integers(0, 2 ** 32, (n_words_big - voc.n_words, 8),
-                       dtype=np.uint32)
-    words = np.concatenate([np.asarray(voc.words), pad])
+    n_pad = max(n_words_big - voc.n_words, 0)
+    pad = rng.integers(0, 2 ** 32, (n_pad, 8), dtype=np.uint32)
+    words = np.concatenate([np.asarray(voc.words), pad])[:n_words_big]
     idf = np.ones((n_words_big,), np.float32)
     np.savez(cache, words=words, idf=idf)
     return Vocabulary(words=jnp.asarray(words), idf=jnp.asarray(idf))

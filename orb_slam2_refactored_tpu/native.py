@@ -55,6 +55,8 @@ def load_library():
         "mg_n_obs": ([c_vp, c_i32], c_i32),
         "mg_get_obs": ([c_vp, c_i32, p_i32, p_i32, c_i32], c_i32),
         "mg_obs_feat_in_kf": ([c_vp, c_i32, c_i32], c_i32),
+        "mg_refresh_export": ([c_vp, p_i32, c_i32, c_i32, c_i32,
+                               p_i32, p_i32, p_i32, p_i32, c_i32], c_i32),
         "mg_covis_weight": ([c_vp, c_i32, c_i32], c_i32),
         "mg_covis_neighbors": ([c_vp, c_i32, c_i32, c_i32, p_i32, c_i32], c_i32),
         "mg_update_connections": ([c_vp, c_i32, p_i32, c_i32, c_i32], None),
@@ -232,6 +234,23 @@ class NativeMapGraph:
 
     def obs_feat_in_kf(self, pt: int, kf: int) -> int:
         return int(self._lib.mg_obs_feat_in_kf(self._h, int(pt), int(kf)))
+
+    def refresh_export(self, mp_row: np.ndarray, min_obs: int, M: int,
+                       B: int):
+        """Batched observation export for refresh_points: one FFI call
+        returns (pts i32[B], obs_kf i32[B,M], obs_ft i32[B,M], nob i32[B],
+        count) for the alive >=min_obs points of a keyframe's row."""
+        row = np.ascontiguousarray(mp_row, np.int32)
+        pts = np.zeros(B, np.int32)
+        okf = np.zeros((B, M), np.int32)
+        oft = np.zeros((B, M), np.int32)
+        nob = np.zeros(B, np.int32)
+        n = self._lib.mg_refresh_export(
+            self._h, _as_i32_ptr(row), len(row), int(min_obs), int(M),
+            _as_i32_ptr(pts), _as_i32_ptr(okf), _as_i32_ptr(oft),
+            _as_i32_ptr(nob), B,
+        )
+        return pts, okf, oft, nob, int(n)
 
     def points_with_obs(self):
         dead = [p for p in self._obs_points if self.n_obs(p) == 0]

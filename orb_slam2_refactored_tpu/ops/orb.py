@@ -476,6 +476,12 @@ class OrbExtractor:
         return self._extract(img)
 
     def _extract_impl(self, img) -> OrbFeatures:
+        return self._extract_impl_pyr(img)[0]
+
+    def _extract_impl_pyr(self, img) -> Tuple[OrbFeatures, List]:
+        """Like `_extract_impl` but also returns the f32 pyramid levels, so
+        callers that need them again (stereo SAD refinement) don't rebuild
+        the resize chain (~1.8 ms/pair at VGA)."""
         img = image_ops.to_gray(img)
         # The pyramid stays f32. A bf16 pyramid was built and measured
         # (extract 2.2 -> 2.0 ms: the resize chain + FAST planes halve
@@ -538,4 +544,4 @@ class OrbExtractor:
             response=jnp.concatenate([o.response for o in outs]),
             desc=jnp.concatenate([o.desc for o in outs]),
             valid=jnp.concatenate([o.valid for o in outs]),
-        )
+        ), levels

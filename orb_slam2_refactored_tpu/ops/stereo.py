@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from . import hamming
 
@@ -123,23 +124,86 @@ def refine_subpixel_pyramid(
     """Per-level SAD refinement — the reference's exact octave semantics
     (`/root/reference/src/ORBmatcher.cc:163-228`: coordinates scale into the
     keypoint's pyramid level via `kp.pt * invScale`, the 11x11 window slides
-    THERE, and the result scales back). One `refine_subpixel` pass per level
-    (static shapes, all features each pass — dense-array style); every
-    feature selects its own level's result. Depth needs no rescale: both bf
-    and the disparity shrink by the same level scale."""
+    THERE, and the result scales back). Depth needs no rescale: both bf and
+    the disparity shrink by the same level scale.
+
+    ONE pass over the keypoints: the levels stack into a zero-padded
+    [L, H0, W0] volume and each keypoint patch-gathers from ITS OWN level
+    plane. The previous form ran a full all-keypoint SAD pass PER LEVEL
+    (8x the patch work, 23.5 ms of the stereo step's 30 ms device time at
+    VGA); this one is level-count-independent."""
     N = u_right.shape[0]
-    ur_out = jnp.full((N,), -1.0, jnp.float32)
-    d_out = jnp.full((N,), -1.0, jnp.float32)
-    ok_out = jnp.zeros((N,), bool)
-    for L in range(len(levels_l)):
-        sf = scale_factors[L]
-        inv = 1.0 / sf
-        ur_l, dep_l, ok_l = refine_subpixel(
-            levels_l[L], levels_r[L], l_xy * inv, u_right * inv, valid,
-            bf * inv,
-        )
-        sel = (l_level == L) & ok_l
-        ur_out = jnp.where(sel, ur_l * sf, ur_out)
-        d_out = jnp.where(sel, dep_l, d_out)
-        ok_out = ok_out | sel
-    return ur_out, d_out, ok_out
+    L = len(levels_l)
+    H0, W0 = levels_l[0].shape
+    P = 2 * W_SAD + 1
+    S = P + 2 * R_SAD
+
+    # vertically flattened pyramid [sum_H, W0]: a per-keypoint read becomes
+    # a ROW GATHER + vmapped column slice — the lowering `ops/orb.py`'s
+    # `_gather_patches` measured 8x faster than per-keypoint 2-D
+    # dynamic_slice on TPU
+    offs = np.cumsum([0] + [lv.shape[0] for lv in levels_l])[:-1]
+
+    def flat(levels):
+        return jnp.concatenate([
+            jnp.pad(lv.astype(jnp.float32), ((0, 0), (0, W0 - lv.shape[1])))
+            for lv in levels
+        ], axis=0)
+
+    fl_l = flat(levels_l)   # [sumH, W0]
+    fl_r = flat(levels_r)
+    off_arr = jnp.asarray(offs, jnp.int32)
+    h_arr = jnp.asarray([lv.shape[0] for lv in levels_l], jnp.int32)
+    w_arr = jnp.asarray([lv.shape[1] for lv in levels_l], jnp.int32)
+
+    lvl = jnp.clip(l_level, 0, L - 1)
+    inv = 1.0 / scale_factors[lvl]
+    hh = h_arr[lvl]
+    ww = w_arr[lvl]
+    yl = jnp.clip(jnp.round(l_xy[:, 1] * inv).astype(jnp.int32),
+                  W_SAD, hh - W_SAD - 1)
+    xl = jnp.clip(jnp.round(l_xy[:, 0] * inv).astype(jnp.int32),
+                  W_SAD, ww - W_SAD - 1)
+    ur0 = jnp.clip(jnp.round(u_right * inv).astype(jnp.int32),
+                   W_SAD + R_SAD, ww - W_SAD - R_SAD - 1)
+    yg = off_arr[lvl] + yl  # rows in the flattened plane
+
+    dy = jnp.arange(-W_SAD, W_SAD + 1)
+    rows_l = fl_l[yg[:, None] + dy[None, :]]  # [N,P,W0]
+    rows_r = fl_r[yg[:, None] + dy[None, :]]
+
+    def one(rl, rr, x, ur):
+        patch_l = jax.lax.dynamic_slice(rl, (0, x - W_SAD), (P, P))
+        strip_r = jax.lax.dynamic_slice(rr, (0, ur - W_SAD - R_SAD), (P, S))
+        # normalize by center intensity like the reference (:175-185)
+        patch_l = patch_l - patch_l[W_SAD, W_SAD]
+        wins = jnp.stack([strip_r[:, r: r + P]
+                          for r in range(2 * R_SAD + 1)])  # [11,P,P]
+        wins = wins - wins[:, W_SAD, W_SAD][:, None, None]
+        sads = jnp.sum(jnp.abs(patch_l[None] - wins), axis=(1, 2))
+        best = jnp.argmin(sads)
+        bi = jnp.clip(best, 1, 2 * R_SAD - 1)
+        s_m, s_0, s_p = sads[bi - 1], sads[bi], sads[bi + 1]
+        denom = s_m + s_p - 2.0 * s_0
+        # raw parabola offset; the reference REJECTS |deltaR|>1 (:215-217)
+        # rather than clipping — a vertex outside the neighbor pair means
+        # the SAD valley is not locally quadratic (repeated texture)
+        delta = jnp.where(jnp.abs(denom) > 1e-6,
+                          0.5 * (s_m - s_p) / denom, 2.0)
+        ur_f = (ur.astype(jnp.float32) + (bi - R_SAD).astype(jnp.float32)
+                + jnp.clip(delta, -1.0, 1.0))
+        return ur_f, sads[bi], jnp.abs(delta) <= 1.0
+
+    ur_lvl, sad_best, delta_ok = jax.vmap(one)(rows_l, rows_r, xl, ur0)
+    ur_ref = ur_lvl * scale_factors[lvl]              # back to level 0
+    disparity = l_xy[:, 0] - ur_ref
+    good = (valid & delta_ok
+            & (disparity > 0.01) & (disparity < bf))
+    # SAD median outlier filter (`src/ORBmatcher.cc:231-246`): matches whose
+    # best SAD exceeds 1.5*1.4x the median of accepted SADs are dropped
+    med = jnp.nanmedian(jnp.where(good, sad_best, jnp.nan))
+    med = jnp.where(jnp.isnan(med), jnp.inf, med)
+    good = good & (sad_best < 1.5 * 1.4 * med)
+    depth = jnp.where(good, bf / jnp.maximum(disparity, 0.01), -1.0)
+    ur_out = jnp.where(good, ur_ref, -1.0)
+    return ur_out, depth, good

@@ -386,6 +386,34 @@ class MapGraph:
     def obs_feat_in_kf(self, pt: int, kf: int) -> int:
         return self.obs.get(pt, {}).get(kf, -1)
 
+    def refresh_export(self, mp_row: np.ndarray, min_obs: int, M: int,
+                       B: int):
+        """Batched observation export (python fallback of the native
+        `mg_refresh_export`): (pts, obs_kf [B,M], obs_ft [B,M], nob, n)."""
+        pts = np.zeros(B, np.int32)
+        okf = np.zeros((B, M), np.int32)
+        oft = np.zeros((B, M), np.int32)
+        nob = np.zeros(B, np.int32)
+        b = 0
+        for p in mp_row[mp_row >= 0]:
+            if b >= B:
+                break
+            p = int(p)
+            if not self.pt_alive[p]:
+                continue
+            o = self.obs.get(p, {})
+            if len(o) < min_obs:
+                continue
+            pts[b] = p
+            for j, (kf, ft) in enumerate(o.items()):
+                if j >= M:
+                    break
+                okf[b, j] = kf
+                oft[b, j] = ft
+                nob[b] = min(len(o), M)
+            b += 1
+        return pts, okf, oft, nob, b
+
     def points_with_obs(self):
         return [p for p, o in self.obs.items() if o]
 

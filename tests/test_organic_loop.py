@@ -102,3 +102,13 @@ class TestOrganicLoop:
         assert rmse_lo < rmse_no, (
             f"loop closing must improve ATE ({rmse_lo:.4f} vs {rmse_no:.4f})"
         )
+        # hard absolute gate (round 5): measured 0.048 m at the map's
+        # constraint-structure optimum — re-solving the final merged map
+        # with 3x the GBA iterations moves cost 5971 -> 5964 and ATE not at
+        # all, so the residual is the single-seam circuit's odometry bend
+        # (mid-lap poses are constrained only by odometry + one loop edge),
+        # not correction quality. The gate would have caught the r4
+        # GBA-merge bug (late keyframes corrected against the LAUNCH pose
+        # snapshot instead of the merge-time parent pose -> post-loop chain
+        # 0.55 m off, whole-trajectory ATE 0.19 m).
+        assert rmse_lo < 0.06, f"with-loop ATE {rmse_lo:.4f} m"

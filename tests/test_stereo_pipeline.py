@@ -74,12 +74,14 @@ class TestStereo:
         est = np.stack(tracker.trajectory)
         rmse, _ = ate_rmse(est, gt, align="se3")
         print(f"stereo ATE {rmse:.4f}")
-        # 0.065 gate: track_stereo now rides the packed 8-BIT wire (one
-        # uint8 upload per pair, round 5) like every real dataset's 8-bit
-        # images; quantizing this fixture's float renders costs a measured
-        # ~1.5 cm on the 8 cm-baseline 320x240 scene (0.044 f32 -> 0.059).
-        # The scored VGA stereo bench keeps its own hard 3 cm gate.
-        assert rmse < 0.065
+        # track_stereo rides the packed 8-BIT wire (one uint8 upload per
+        # pair, round 5) like every real dataset's 8-bit images; quantizing
+        # this fixture's float renders cost ~1.5 cm (0.044 f32 -> 0.059),
+        # and adopting the reference's exact SAD gates (|deltaR|<=1
+        # rejection + SAD median filter, src/ORBmatcher.cc:217,231-246)
+        # won most of it back (0.0485). The scored VGA stereo bench keeps
+        # its own hard 3 cm gate.
+        assert rmse < 0.055
 
 
 class TestPipelined:
