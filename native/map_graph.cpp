@@ -110,6 +110,104 @@ int32_t mg_get_obs(void* h, int32_t pt, int32_t* out_kf, int32_t* out_feat,
   }
   return n;
 }
+// Full SearchInNeighbors fuse-decision application in the arena
+// (`src/LocalMapping.cc:580-639` + `ORBmatcher::Fuse` accept semantics):
+// the per-pair/per-feature decision loop that previously ran in Python at
+// ~10-18 ms per keyframe. For each batch row bi with source kf a=srcs[bi],
+// destination kf b=dsts[bi] (a==b rows are padding), and each kept feature
+// f: p_src = src_mp[bi*F+f] fuses into destination feature idx[bi*F+f]
+// whose current landmark is dst_pt[bi*F+f].
+// Outputs: new observations (add_*), chain-resolved duplicate merges
+// (merge_*), kf_row-mirror updates (upd_*: transplants + clears; the adds
+// are also included) and killed points (quarantine bookkeeping stays
+// host-side). Returns 0 on success, -1 if any output capacity was hit
+// (caller falls back to the Python loop).
+int32_t mg_apply_fuse(void* h, const int32_t* srcs, const int32_t* dsts,
+                      int32_t n_pairs, const int32_t* idx_all,
+                      const int32_t* dst_pt_all, const uint8_t* keep_all,
+                      const int32_t* src_mp_all, int32_t n_feat,
+                      int32_t* add_kf, int32_t* add_ft, int32_t* add_pt,
+                      int32_t* n_add_out,
+                      int32_t* merge_src, int32_t* merge_dst,
+                      int32_t* n_merge_out,
+                      int32_t* upd_kf, int32_t* upd_ft, int32_t* upd_val,
+                      int32_t* n_upd_out,
+                      int32_t* killed, int32_t* n_killed_out,
+                      int32_t cap_out) {
+  auto* g = static_cast<MapGraphCore*>(h);
+  int32_t n_add = 0, n_merge = 0, n_upd = 0, n_killed = 0;
+  for (int32_t bi = 0; bi < n_pairs; ++bi) {
+    int32_t b = dsts[bi];
+    if (srcs[bi] == b) continue;  // padding self-pair
+    for (int32_t f = 0; f < n_feat; ++f) {
+      if (!keep_all[bi * n_feat + f]) continue;
+      int32_t p_src = src_mp_all[bi * n_feat + f];
+      if (p_src < 0 || p_src >= g->max_pts || !g->pt_alive[p_src]) continue;
+      int32_t f_dst = idx_all[bi * n_feat + f];
+      int32_t p_dst = dst_pt_all[bi * n_feat + f];
+      if (p_dst < 0) {
+        // dst feature has no landmark: add observation
+        auto& o = g->obs[p_src];
+        if (o.find(b) != o.end()) continue;
+        if (n_add >= cap_out || n_upd >= cap_out) return -1;
+        o[b] = f_dst;
+        add_kf[n_add] = b; add_ft[n_add] = f_dst; add_pt[n_add] = p_src;
+        ++n_add;
+        upd_kf[n_upd] = b; upd_ft[n_upd] = f_dst; upd_val[n_upd] = p_src;
+        ++n_upd;
+      } else if (p_dst != p_src && p_dst < g->max_pts &&
+                 g->pt_alive[p_dst]) {
+        // duplicate landmark: keep the better-observed one
+        int32_t lo = p_src, hi = p_dst;
+        if (g->obs[p_dst].size() < g->obs[p_src].size()) {
+          lo = p_dst; hi = p_src;
+        }
+        // transplant lo's observations into hi where hi is absent
+        std::vector<std::pair<int32_t, int32_t>> pairs(
+            g->obs[lo].begin(), g->obs[lo].end());
+        auto& oh = g->obs[hi];
+        for (auto& kv : pairs) {
+          if (oh.find(kv.first) == oh.end()) {
+            if (n_upd >= cap_out) return -1;
+            oh[kv.first] = kv.second;
+            upd_kf[n_upd] = kv.first; upd_ft[n_upd] = kv.second;
+            upd_val[n_upd] = hi;
+            ++n_upd;
+          } else {
+            // hi already observed in that kf: lo's feature slot clears
+            if (n_upd >= cap_out) return -1;
+            upd_kf[n_upd] = kv.first; upd_ft[n_upd] = kv.second;
+            upd_val[n_upd] = -1;
+            ++n_upd;
+          }
+        }
+        // kill lo
+        g->pt_alive[lo] = 0;
+        g->obs[lo].clear();
+        if (n_merge >= cap_out || n_killed >= cap_out) return -1;
+        merge_src[n_merge] = lo; merge_dst[n_merge] = hi; ++n_merge;
+        killed[n_killed++] = lo;
+      }
+    }
+  }
+  // resolve merge chains (x->y then y->z must land on z, matching the
+  // sequential merges above)
+  for (int32_t i = 0; i < n_merge; ++i) {
+    int32_t d = merge_dst[i];
+    bool moved = true;
+    while (moved) {
+      moved = false;
+      for (int32_t j = 0; j < n_merge; ++j) {
+        if (merge_src[j] == d) { d = merge_dst[j]; moved = true; }
+      }
+    }
+    merge_dst[i] = d;
+  }
+  *n_add_out = n_add; *n_merge_out = n_merge;
+  *n_upd_out = n_upd; *n_killed_out = n_killed;
+  return 0;
+}
+
 // Bulk export for refresh_points: scan a keyframe's mp_row, select alive
 // points with >= min_obs observations, and write up to B of them with
 // padded [B,M] observation tables — ONE call replacing ~1000 per-point

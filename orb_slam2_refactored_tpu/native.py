@@ -57,6 +57,10 @@ def load_library():
         "mg_obs_feat_in_kf": ([c_vp, c_i32, c_i32], c_i32),
         "mg_refresh_export": ([c_vp, p_i32, c_i32, c_i32, c_i32,
                                p_i32, p_i32, p_i32, p_i32, c_i32], c_i32),
+        "mg_apply_fuse": ([c_vp, p_i32, p_i32, c_i32, p_i32, p_i32, p_u8,
+                           p_i32, c_i32, p_i32, p_i32, p_i32, p_i32,
+                           p_i32, p_i32, p_i32, p_i32, p_i32, p_i32,
+                           p_i32, p_i32, p_i32, c_i32], c_i32),
         "mg_covis_weight": ([c_vp, c_i32, c_i32], c_i32),
         "mg_covis_neighbors": ([c_vp, c_i32, c_i32, c_i32, p_i32, c_i32], c_i32),
         "mg_update_connections": ([c_vp, c_i32, p_i32, c_i32, c_i32], None),
@@ -234,6 +238,56 @@ class NativeMapGraph:
 
     def obs_feat_in_kf(self, pt: int, kf: int) -> int:
         return int(self._lib.mg_obs_feat_in_kf(self._h, int(pt), int(kf)))
+
+    def apply_fuse(self, srcs, dsts, idx_all, dst_pt_all, keep_all,
+                   src_mp_all):
+        """Arena-side fuse-decision application (mg_apply_fuse): ONE FFI
+        call replacing the Python per-pair/per-feature loop. Returns
+        (adds (kf, ft, pt), merges (src, dst chain-resolved), killed) and
+        applies the kf_row mirror updates in place. None -> capacity hit,
+        caller must use the Python fallback."""
+        n_pairs = len(srcs)
+        n_feat = idx_all.shape[1]
+        cap = max(n_pairs * n_feat * 2, 1024)
+        i32 = np.int32
+        a_kf, a_ft, a_pt = (np.zeros(cap, i32) for _ in range(3))
+        m_src, m_dst = np.zeros(cap, i32), np.zeros(cap, i32)
+        u_kf, u_ft, u_val = (np.zeros(cap, i32) for _ in range(3))
+        kl = np.zeros(cap, i32)
+        counts = np.zeros(4, i32)
+        rc = self._lib.mg_apply_fuse(
+            self._h,
+            _as_i32_ptr(np.ascontiguousarray(srcs, i32)),
+            _as_i32_ptr(np.ascontiguousarray(dsts, i32)),
+            n_pairs,
+            _as_i32_ptr(np.ascontiguousarray(idx_all, i32)),
+            _as_i32_ptr(np.ascontiguousarray(dst_pt_all, i32)),
+            np.ascontiguousarray(keep_all, np.uint8).ctypes.data_as(
+                ctypes.POINTER(ctypes.c_uint8)),
+            _as_i32_ptr(np.ascontiguousarray(src_mp_all, i32)),
+            n_feat,
+            _as_i32_ptr(a_kf), _as_i32_ptr(a_ft), _as_i32_ptr(a_pt),
+            _as_i32_ptr(counts[0:1]),
+            _as_i32_ptr(m_src), _as_i32_ptr(m_dst),
+            _as_i32_ptr(counts[1:2]),
+            _as_i32_ptr(u_kf), _as_i32_ptr(u_ft), _as_i32_ptr(u_val),
+            _as_i32_ptr(counts[2:3]),
+            _as_i32_ptr(kl), _as_i32_ptr(counts[3:4]),
+            cap,
+        )
+        if rc != 0:
+            return None
+        n_add, n_merge, n_upd, n_kill = (int(c) for c in counts)
+        # mirror maintenance (the arena already updated its obs maps)
+        if n_upd:
+            self.kf_row[u_kf[:n_upd], u_ft[:n_upd]] = u_val[:n_upd]
+        for p in a_pt[:n_add]:
+            self._obs_points.add(int(p))
+        for p in kl[:n_kill]:
+            self._obs_points.discard(int(p))
+            self.pt_quarantine.append((int(p), self.num_kfs))
+        return ((a_kf[:n_add], a_ft[:n_add], a_pt[:n_add]),
+                (m_src[:n_merge], m_dst[:n_merge]), kl[:n_kill])
 
     def refresh_export(self, mp_row: np.ndarray, min_obs: int, M: int,
                        B: int):

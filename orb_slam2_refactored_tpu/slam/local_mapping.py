@@ -549,6 +549,31 @@ class LocalMapper:
         dst_pt_all = packed[..., 1]
         keep_all = packed[..., 2] > 0
         src_mp_all = packed[..., 3]
+        if hasattr(graph, "apply_fuse"):
+            # arena-side decision loop (native mg_apply_fuse): one FFI call
+            # instead of the ~10-18 ms/KF Python per-feature loop
+            srcs = np.asarray([a for a, _ in pairs], np.int32)
+            dsts = np.asarray([b for _, b in pairs], np.int32)
+            res = graph.apply_fuse(srcs, dsts, idx_all, dst_pt_all,
+                                   keep_all, src_mp_all)
+            if res is not None:
+                (a_kf, a_ft, a_pt), (m_src, m_dst), _killed = res
+                if len(a_kf) or len(m_src):
+                    nmax = max(len(a_kf), len(m_src))
+                    bkt = 512 if nmax <= 512 else 2048
+                    m = self._fuse_apply(
+                        m,
+                        jnp.asarray(_pad_bucket(a_kf.tolist(),
+                                                m.kf_capacity, bkt)),
+                        jnp.asarray(_pad_bucket(a_ft.tolist(), 0, bkt)),
+                        jnp.asarray(_pad_bucket(a_pt.tolist(), INVALID, bkt)),
+                        jnp.asarray(_pad_bucket(m_src.tolist(),
+                                                m.point_capacity, bkt)),
+                        jnp.asarray(_pad_bucket(m_dst.tolist(),
+                                                m.point_capacity, bkt)),
+                    )
+                    graph.update_connections(new_kf, graph.kf_row[new_kf])
+                return m
         n_merged = n_added = 0
         # collect every host-graph decision, then apply ALL device writes in
         # one program (per-pair dispatches cost a tunnel round trip each)

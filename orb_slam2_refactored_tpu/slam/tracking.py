@@ -2643,13 +2643,23 @@ class Tracker:
                 and self.frames_since_kf % 8 == 0):
             self._refresh_local_mask(self.ref_kf)
 
-    def _pump_mapping(self, force: bool = False):
-        """Advance the in-flight local-mapping job by one stage.
+    def _pump_mapping(self, force: bool = False, max_stages: int = 2):
+        """Advance the in-flight local-mapping job by up to `max_stages`
+        READY stages (their fetches landed); `force` waits instead.
 
         Each stage consumes a readback that a worker thread has been
-        fetching since the previous stage dispatched; the pump only
-        advances when that fetch has completed (`force` waits instead), so
-        the frame loop never blocks on a mapping-stage transfer."""
+        fetching since the previous stage dispatched, so the frame loop
+        never blocks on a mapping-stage transfer. Advancing two ready
+        stages per frame claws back pipeline latency under link congestion
+        (fetches take 2-5 frame-times there; one-stage-per-frame pumping
+        left most drains to the next keyframe's blocking force path)."""
+        for _ in range(max(max_stages, 1)):
+            before = getattr(self, "_map_job", None)
+            self._pump_mapping_once(force)
+            if getattr(self, "_map_job", None) == before:
+                break
+
+    def _pump_mapping_once(self, force: bool = False):
         lm = self.local_mapper
         job = getattr(self, "_map_job", None)
         if lm is None or job is None:
