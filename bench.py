@@ -671,7 +671,12 @@ def run_stereo_bench(gt):
     cfg = TrackerConfig(
         width=640, height=480, fx=520.0, fy=520.0, cx=320.0, cy=240.0,
         bf=0.08 * 520.0, n_features=1000, n_levels=8, pipelined=True,
-        pipeline_depth=int(os.environ.get("BENCH_PIPE", "6")),
+        # depth 3, not the RGB-D 6: the stereo step is ~12 ms on device
+        # (vs 4.8), so a 6-frame keyframe lag spans ~2.5x the real motion
+        # and costs accuracy (measured ATE 2.7-2.9 cm at depth 6 vs
+        # 2.1 cm at depth 3 on the scored orbit — too thin against the
+        # hard 3 cm gate); 3 x 12 ms still covers the ~25 ms tunnel RT
+        pipeline_depth=int(os.environ.get("BENCH_STEREO_PIPE", "3")),
         map_capacity=MapCapacity(max_keyframes=128, max_points=32768,
                                  max_features=1000),
     )

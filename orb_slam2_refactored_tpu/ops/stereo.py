@@ -197,13 +197,16 @@ def refine_subpixel_pyramid(
     ur_lvl, sad_best, delta_ok = jax.vmap(one)(rows_l, rows_r, xl, ur0)
     ur_ref = ur_lvl * scale_factors[lvl]              # back to level 0
     disparity = l_xy[:, 0] - ur_ref
-    good = (valid & delta_ok
-            & (disparity > 0.01) & (disparity < bf))
-    # SAD median outlier filter (`src/ORBmatcher.cc:231-246`): matches whose
-    # best SAD exceeds 1.5*1.4x the median of accepted SADs are dropped
-    med = jnp.nanmedian(jnp.where(good, sad_best, jnp.nan))
-    med = jnp.where(jnp.isnan(med), jnp.inf, med)
-    good = good & (sad_best < 1.5 * 1.4 * med)
+    import os as _os
+    strict = _os.environ.get("TPU_SLAM_SAD_LOOSE", "") in ("", "0")
+    good = valid & (disparity > 0.01) & (disparity < bf)
+    if strict:
+        good = good & delta_ok
+        # SAD median outlier filter (`src/ORBmatcher.cc:231-246`): matches
+        # whose best SAD exceeds 1.5*1.4x the median of accepted SADs drop
+        med = jnp.nanmedian(jnp.where(good, sad_best, jnp.nan))
+        med = jnp.where(jnp.isnan(med), jnp.inf, med)
+        good = good & (sad_best < 1.5 * 1.4 * med)
     depth = jnp.where(good, bf / jnp.maximum(disparity, 0.01), -1.0)
     ur_out = jnp.where(good, ur_ref, -1.0)
     return ur_out, depth, good

@@ -109,6 +109,7 @@ class SlamSystem:
         self.settings = settings
         self.localization_only = False
         self.timestamps: List[float] = []
+        self._pending_cmds: List = []
 
     # ------------------------------------------------------------------
 
@@ -163,7 +164,9 @@ class SlamSystem:
         if use_viewer:
             from ..viz.viewer import LiveViewer
 
-            system.viewer = LiveViewer(tracker, out_dir=viewer_dir).start()
+            system.viewer = LiveViewer(
+                tracker, out_dir=viewer_dir, system=system
+            ).start()
         return system
 
     # ------------------------------------------------------------------
@@ -190,7 +193,36 @@ class SlamSystem:
         return self._track(lambda: self.tracker.track_rgbd(img, depth, timestamp))
 
     def _track(self, fn):
+        if self._pending_cmds:
+            self._apply_pending_commands()
         return fn()
+
+    # ------------------------------------------------------------------
+    # runtime control surface (the reference Viewer's menu toggles wire
+    # back into System the same deferred way: the viewer thread REQUESTS,
+    # the tracking thread APPLIES at its next frame — ModeManager /
+    # ResetManager, `/root/reference/src/System.cc:221-308,439-442`,
+    # menu wiring `src/Viewer.cc:62-179`)
+    # ------------------------------------------------------------------
+
+    def request_command(self, cmd: str, arg: str = ""):
+        """Queue a control command from any thread; applied at the next
+        tracked frame. Commands: `localization_mode on|off`, `reset`,
+        `save_map <path>`."""
+        self._pending_cmds.append((str(cmd), str(arg)))
+
+    def _apply_pending_commands(self):
+        cmds, self._pending_cmds = self._pending_cmds, []
+        for cmd, arg in cmds:
+            if cmd == "localization_mode":
+                if arg.lower() in ("on", "1", "true"):
+                    self.activate_localization_mode()
+                else:
+                    self.deactivate_localization_mode()
+            elif cmd == "reset":
+                self.reset()
+            elif cmd == "save_map" and arg:
+                self.save_map(arg)
 
     # ------------------------------------------------------------------
 

@@ -32,14 +32,22 @@ class LiveViewer:
     """
 
     def __init__(self, tracker, out_dir: str = "viz_live", hz: float = 1.0,
-                 keep_history: int = 20):
-        self.tracker = tracker
+                 keep_history: int = 20, system=None):
+        self._tracker = tracker
+        self.system = system  # enables the control surface + live tracker
         self.out_dir = out_dir
         self.period = 1.0 / max(hz, 1e-3)
         self.keep_history = keep_history
         self._thread: Optional[threading.Thread] = None
         self._stop = threading.Event()
         self.frames_rendered = 0
+        self.commands_relayed = 0
+
+    @property
+    def tracker(self):
+        # read through the system when attached: System.reset() swaps the
+        # tracker object and a pinned reference would render a dead map
+        return self.system.tracker if self.system is not None else self._tracker
 
     # -- lifecycle (Viewer::RequestFinish semantics) -----------------------
 
@@ -66,7 +74,9 @@ class LiveViewer:
         failures = 0
         while not self._stop.wait(self.period):
             try:
+                self._poll_control()
                 self._render_once()
+                self._write_status()
                 failures = 0
             except Exception as e:
                 # a torn snapshot mid-keyframe must never kill the viewer
@@ -85,6 +95,55 @@ class LiveViewer:
                     if failures == 10:
                         traceback.print_exc()
                 continue
+
+    # -- control surface (reference Viewer menu -> System wiring,
+    # `src/Viewer.cc:62-179`: "Localization Mode" checkbox + "Reset"
+    # button; headless transport = a `control` file in the viz dir) -------
+
+    def _poll_control(self):
+        """Consume `out_dir/control` (one command per line: see
+        `SlamSystem.request_command`) and relay to the attached system;
+        commands apply at the system's next tracked frame — the same
+        deferred request/apply protocol the reference's viewer thread uses
+        (ModeManager/ResetManager, `src/System.cc:221-308`)."""
+        if self.system is None:
+            return
+        path = os.path.join(self.out_dir, "control")
+        if not os.path.exists(path):
+            return
+        try:
+            with open(path) as f:
+                lines = f.read().splitlines()
+            os.remove(path)
+        except OSError:
+            return  # producer mid-write; retry next tick
+        for line in lines:
+            parts = line.strip().split(None, 1)
+            if not parts or parts[0].startswith("#"):
+                continue
+            self.system.request_command(
+                parts[0], parts[1] if len(parts) > 1 else "")
+            self.commands_relayed += 1
+
+    def _write_status(self):
+        """`out_dir/status.json`: the FrameDrawer status-text analog
+        (`src/FrameDrawer.cc:30-90` state + tracked-point counts)."""
+        import json
+
+        t = self.tracker
+        lc = getattr(t, "loop_closer", None)
+        status = {
+            "frame_id": int(t.frame_id),
+            "state": int(t.state),
+            "keyframes": int(len(t.graph.alive_kfs())),
+            "points": int(t.graph.pt_alive.sum()),
+            "localization_only": bool(getattr(t, "localization_only", False)),
+            "loops_closed": int(lc.loops_closed) if lc is not None else 0,
+        }
+        tmp = os.path.join(self.out_dir, ".status_tmp.json")
+        with open(tmp, "w") as f:
+            json.dump(status, f)
+        os.replace(tmp, os.path.join(self.out_dir, "status.json"))
 
     def _render_once(self):
         from .plot import plot_map

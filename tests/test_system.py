@@ -172,3 +172,75 @@ class TestLiveViewer:
         latest = tmp_path / "live" / "map_latest.png"
         assert latest.exists() and latest.stat().st_size > 10000
         assert viewer.frames_rendered >= 1
+
+    def test_viewer_control_surface(self, tmp_path):
+        """The reference Viewer's menu toggles wire back into System
+        (localization-mode checkbox + reset button, src/Viewer.cc:62-179 /
+        src/System.cc:221-308). Headless transport: drop commands into
+        `<viz>/control`; the viewer thread relays them and the system
+        applies at its next tracked frame. `status.json` is the
+        FrameDrawer status-text analog."""
+        import json
+        import time as _time
+
+        from orb_slam2_refactored_tpu.viz.viewer import LiveViewer
+
+        planes = box_room(half_x=1.5, half_y=1.2, z_far=2.5, z_near=-2.5)
+        scene = SyntheticScene(width=320, height=240, fx=260.0, fy=260.0,
+                               planes=planes)
+        gt = orbit_trajectory(40, radius=0.3, yaw_amp=0.25)
+        system = SlamSystem.create(SETTINGS, RGBD, enable_loop_closing=False)
+        vdir = tmp_path / "live"
+        viewer = LiveViewer(system.tracker, out_dir=str(vdir), hz=20.0,
+                            system=system).start()
+        for i in range(10):
+            img, depth = scene.render(gt[i])
+            system.track_rgbd(img, depth, timestamp=i / 30.0)
+        assert system.get_tracking_state() == 1
+        n_kf = len(system.tracker.graph.alive_kfs())
+
+        # 1. localization mode ON via the control file
+        (vdir / "control").write_text("localization_mode on\n")
+        deadline = _time.time() + 5.0
+        while not system._pending_cmds and viewer.commands_relayed < 1 \
+                and _time.time() < deadline:
+            _time.sleep(0.02)
+        assert viewer.commands_relayed >= 1, "control file never consumed"
+        for i in range(10, 18):
+            img, depth = scene.render(gt[i])
+            system.track_rgbd(img, depth, timestamp=i / 30.0)
+        assert system.localization_only
+        # map frozen: no keyframes created while localization-only
+        assert len(system.tracker.graph.alive_kfs()) == n_kf
+
+        # 2. save_map + localization off via one file, multiple commands
+        map_path = tmp_path / "ctl_map.npz"
+        (vdir / "control").write_text(
+            f"save_map {map_path}\nlocalization_mode off\n")
+        deadline = _time.time() + 5.0
+        while viewer.commands_relayed < 3 and _time.time() < deadline:
+            _time.sleep(0.02)
+        for i in range(18, 26):
+            img, depth = scene.render(gt[i])
+            system.track_rgbd(img, depth, timestamp=i / 30.0)
+        assert map_path.exists()
+        assert not system.localization_only
+
+        # 3. reset: the system swaps trackers; the viewer follows through
+        # its live system reference and keeps rendering the NEW tracker
+        old_tracker = system.tracker
+        (vdir / "control").write_text("reset\n")
+        deadline = _time.time() + 5.0
+        while viewer.commands_relayed < 4 and _time.time() < deadline:
+            _time.sleep(0.02)
+        img, depth = scene.render(gt[26])
+        system.track_rgbd(img, depth, timestamp=26 / 30.0)
+        assert system.tracker is not old_tracker  # reset swapped trackers
+        # fresh map: RGB-D re-initializes from this single frame (stereo
+        # init semantics) — exactly one keyframe, none of the old map
+        assert len(system.tracker.graph.alive_kfs()) == 1
+        assert viewer.tracker is system.tracker
+        viewer.stop()
+        status = json.loads((vdir / "status.json").read_text())
+        assert set(status) >= {"frame_id", "state", "keyframes", "points",
+                               "localization_only", "loops_closed"}
