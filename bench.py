@@ -193,7 +193,7 @@ def main():
             tracker.track_rgbd_batch(
                 None, None,
                 [(ts_base + i) / 30.0 for i in range(idx, idx + k)],
-                uploaded=f.result(), paired=mode >= 2,
+                uploaded=f.result(), mode=mode,
             )
             idx += k
 
@@ -341,6 +341,8 @@ def main():
         if k > 1:
             ingest(0, k, 0, batch=k)
             ingest(0, k, 0, batch=k, mode=2)  # _step2_from_batch[k,B]
+            if k >= 4:
+                ingest(0, k, 0, batch=k, mode=4)  # _step4_from_batch[k,B]
     ingest(0, 4, 0, mode=2)  # _step2_packed (batch=1 pair variant)
     ingest(0, 8, 0, mode=4)  # _stepk_packed (chained quad, VERDICT r4 #9)
     tracker.flush()

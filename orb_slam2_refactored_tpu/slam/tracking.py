@@ -369,6 +369,16 @@ class Tracker:
             lambda bufs, *rest: self._stepk_impl(
                 [self._unpack_impl(b) for b in bufs], *rest)
         )
+        # chained quad sliced from a [k, B] batched upload: ONE dispatch
+        # RPC + one stacked pack fetch per FOUR frames of the batch — the
+        # congested-phase optimum composes batch-8 uploads WITH 4-frame
+        # step fusion instead of downgrading to pairs
+        self._step4_from_batch = jax.jit(
+            lambda b, i, *rest: self._stepk_impl(
+                [self._unpack_impl(jax.lax.dynamic_index_in_dim(
+                    b, i + j, axis=0, keepdims=False)) for j in range(4)],
+                *rest)
+        )
         self._step_stereo = jax.jit(self._step_stereo_impl)
         self._step_stereo_packed = jax.jit(
             lambda buf, *rest: self._step_stereo_impl(
@@ -1266,7 +1276,7 @@ class Tracker:
         return jnp.asarray(bufs)
 
     def track_rgbd_batch(self, imgs, depths, timestamps=None, uploaded=None,
-                         paired: bool = False):
+                         paired: bool = False, mode: int = 0):
         """Track k RGB-D frames from one batched upload (see
         `upload_rgbd_batch`; pass `uploaded` to double-buffer: upload batch
         j+1 before stepping batch j). Steps still run strictly
@@ -1314,11 +1324,29 @@ class Tracker:
                  and k <= max(int(self.cfg.pipeline_depth), 1)
                  and bool(_os.environ.get("TPU_SLAM_DEFER_PACKS")))
         poses = []
-        if paired:
-            # fused pair stepping within the batch: one dispatch RPC + one
-            # stacked pack fetch per TWO frames (see `_step2_impl`); odd
-            # tail frames fall through to the per-frame path below
+        mode = mode or (2 if paired else 1)
+        if mode >= 2:
+            # fused stepping within the batch: one dispatch RPC + one
+            # stacked pack fetch per `mode` frames (`_step2_impl` /
+            # `_stepk_impl`); tail frames fall through to pair then
+            # per-frame below
             i = 0
+            while mode >= 4 and i + 3 < k and self.cfg.pipelined \
+                    and self.state == TrackState.OK:
+                self._run_chain(
+                    lambda i=i: self._step4_from_batch(
+                        batch, jnp.int32(i),
+                        self.last_frame, self.last_mp_dev, self.map,
+                        self.pose_dev, self.velocity_dev,
+                        self._ref_kf_scalar(),
+                        self.mp_vis_dev, self.mp_found_dev,
+                        self.local_mask_dev, self.mp_seen_dev,
+                        self.fidx_dev,
+                    ),
+                    timestamps[i: i + 4],
+                )
+                poses.extend([self.pose] * 4)
+                i += 4
             while i + 1 < k and self.cfg.pipelined \
                     and self.state == TrackState.OK:
                 self._run_pair(

@@ -142,6 +142,51 @@ class TestBatchIngestEquivalence:
         assert len(t.trajectory) == N
         _check(t, gt, ref_rmse, ref_kfs, tol=0.025, rel_tol=0.012)
 
+    def test_chain_step_matches_per_frame(self, frames_gt):
+        """k=4 chained step (`_stepk_impl`, VERDICT r4 #9): one dispatch +
+        one stacked 4-row pack fetch per quad must be tracking-equivalent
+        (keyframe decisions lag up to 3 extra frames)."""
+        frames, gt = frames_gt
+        ref_rmse, ref_kfs = _reference_run(frames, gt)
+        t = Tracker(_cfg())
+        futs = t.prefetch_rgbd([f[0] for f in frames],
+                               [f[1] for f in frames])
+        i = 0
+        while i < N:
+            if i + 4 <= N:
+                t.track_rgbd_chain_uploaded(
+                    [futs[i + j].result() for j in range(4)],
+                    [(i + j) / 30.0 for j in range(4)],
+                )
+                i += 4
+            else:
+                t.track_rgbd_uploaded(futs[i].result(), timestamp=i / 30.0)
+                i += 1
+        t.flush()
+        assert len(t.trajectory) == N
+        _check(t, gt, ref_rmse, ref_kfs, tol=0.025, rel_tol=0.012)
+
+    def test_quad_batch_matches_per_frame(self, frames_gt):
+        """Chained-quad stepping WITHIN a batched upload
+        (`_step4_from_batch`): batch-4 uploads, one fused dispatch per
+        batch — the congested-phase (batch=8, mode=4) composition."""
+        frames, gt = frames_gt
+        ref_rmse, ref_kfs = _reference_run(frames, gt)
+        t = Tracker(_cfg())
+        i = 0
+        while i < N:
+            k = min(4, N - i)
+            t.track_rgbd_batch(
+                [f[0] for f in frames[i:i + k]],
+                [f[1] for f in frames[i:i + k]],
+                [(i + j) / 30.0 for j in range(k)],
+                mode=4,
+            )
+            i += k
+        t.flush()
+        assert len(t.trajectory) == N
+        _check(t, gt, ref_rmse, ref_kfs, tol=0.025, rel_tol=0.012)
+
     def test_prefetch_batches_with_deferred_packs(self, frames_gt,
                                                   monkeypatch):
         monkeypatch.setenv("TPU_SLAM_DEFER_PACKS", "1")
