@@ -476,6 +476,16 @@ def main():
             traceback.print_exc(file=sys.stderr)
             print(f"[bench] orbvoc probe failed: {e}", file=sys.stderr)
 
+    # ---- mono on-TPU probe (compact, informational): the third modality's
+    # wire + throughput story (uint8 uploads via the worker pool) ----
+    if os.environ.get("BENCH_MONO", "1") not in ("0", ""):
+        try:
+            run_mono_probe(imgs, gt)
+        except Exception as e:
+            import traceback
+            traceback.print_exc(file=sys.stderr)
+            print(f"[bench] mono probe failed: {e}", file=sys.stderr)
+
     # ---- stereo segment (VERDICT r4 #2): second scored metric ----
     # The reference's flagship modality is stereo KITTI
     # (`Examples/Stereo/stereo_kitti.cc`); this measures the packed-wire
@@ -633,6 +643,58 @@ def run_orbvoc_probe(imgs, depths, cfg):
               "vocabulary", file=sys.stderr)
 
 
+def run_mono_probe(imgs, gt):
+    """Monocular throughput on the same orbit: warmup lap (compiles the
+    mono programs; monocular init consumes the early parallax), then ONE
+    measured lap with worker-pool uint8 uploads. Informational — mono
+    shares the RGB-D step structure so its device cost is the same story;
+    this proves the wire + pipeline work end-to-end on the chip and states
+    the number (sim3 ATE sanity-gated: monocular scale is unobservable)."""
+    import jax.numpy as jnp
+
+    from orb_slam2_refactored_tpu.io.evaluation import ate_rmse
+    from orb_slam2_refactored_tpu.slam.map_state import MapCapacity
+    from orb_slam2_refactored_tpu.slam.tracking import Tracker, TrackerConfig
+
+    t0 = time.time()
+    cfg = TrackerConfig(
+        width=640, height=480, fx=520.0, fy=520.0, cx=320.0, cy=240.0,
+        bf=0.0, n_features=1000, n_levels=8, pipelined=True,
+        pipeline_depth=int(os.environ.get("BENCH_PIPE", "6")),
+        kf_ref_ratio=0.9,
+        map_capacity=MapCapacity(max_keyframes=128, max_points=32768,
+                                 max_features=1000),
+    )
+    tracker = Tracker(cfg)
+
+    def lap(ts_base):
+        futs = tracker.prefetch_mono(imgs)
+        for j, f in enumerate(futs):
+            tracker.track_mono_uploaded(f.result(),
+                                        timestamp=(ts_base + j) / 30.0)
+        tracker.flush()
+
+    lap(0)  # warmup: compiles + initializes
+    print(f"[bench] mono warmup (full orbit) {time.time()-t0:.1f}s",
+          file=sys.stderr)
+    t0 = time.time()
+    lap(N_FRAMES)
+    dt = time.time() - t0
+    n = len(tracker.trajectory)
+    est = np.stack(tracker.trajectory[-N_FRAMES:])
+    m = min(len(est), N_FRAMES)
+    rmse, _ = ate_rmse(est[:m], gt[:m], align="sim3")
+    # sanity bar 0.35 m sim3: monocular scale drifts over a 200-frame
+    # loop-free run (the tracker-level mono circuit tests gate at the same
+    # regime); the depth-aided 3 cm bar does not apply without metric depth
+    ok = tracker.state == 1 and rmse < 0.35
+    print(f"[bench] mono: {N_FRAMES/dt:.1f} fps (one measured lap), "
+          f"ATE(sim3) {rmse*100:.1f} cm "
+          f"{'(mono-drift regime, sane)' if ok else '(DEGRADED)'}, "
+          f"{len(tracker.graph.alive_kfs())} keyframes, "
+          f"state={tracker.state}", file=sys.stderr)
+
+
 def get_stereo_frames(gt):
     """Rectified L/R pairs over the same orbit (cached)."""
     from orb_slam2_refactored_tpu.io.synthetic import (
@@ -685,12 +747,19 @@ def run_stereo_bench(gt):
     tracker = Tracker(cfg)
     PAIR_ENV = os.environ.get("BENCH_STEREO_PAIR")
 
-    def ingest(lo, hi, ts_base, pair=True):
+    def ingest(lo, hi, ts_base, mode=1):
         futs = tracker.prefetch_stereo(left[lo:hi], right[lo:hi])
         j = 0
         n = hi - lo
         while j < n:
-            if pair and j + 1 < n:
+            rem = n - j
+            if mode >= 4 and rem >= 4:
+                tracker.track_stereo_chain_uploaded(
+                    [futs[j + i].result() for i in range(4)],
+                    [(ts_base + lo + j + i) / 30.0 for i in range(4)],
+                )
+                j += 4
+            elif mode >= 2 and rem >= 2:
                 tracker.track_stereo_pair_uploaded(
                     futs[j].result(), futs[j + 1].result(),
                     (ts_base + lo + j) / 30.0,
@@ -703,10 +772,11 @@ def run_stereo_bench(gt):
                 j += 1
 
     def probe_pair(frames_per_rep=16, reps=2):
-        """Pair-vs-single step probe on the live link (the stereo mirror of
-        the rgbd probe_step_mode; state untouched)."""
+        """Step-fusion probe on the live link (1 / 2 / 4 frames per
+        dispatch RPC — the stereo mirror of the rgbd probe_step_mode;
+        state untouched)."""
         if PAIR_ENV is not None:
-            return PAIR_ENV not in ("0", "")
+            return int(PAIR_ENV) if PAIR_ENV.isdigit() else 1
         buf = getattr(tracker, "_probe_sbuf", None)
         if buf is None:
             buf = tracker._probe_sbuf = jnp.asarray(
@@ -720,12 +790,17 @@ def run_stereo_bench(gt):
         pool = tracker._fetch_pool
         depth = max(int(cfg.pipeline_depth), 1)
 
-        def run(pair):
+        def run(mode):
             pend = []
             t0 = time.perf_counter()
             i = 0
             while i < frames_per_rep:
-                if pair:
+                if mode >= 4:
+                    out = tracker._stepk_stereo_packed(
+                        (buf, buf, buf, buf), *rest)
+                    h = out[1]
+                    i += 4
+                elif mode == 2:
                     out = tracker._step2_stereo_packed(buf, buf, *rest)
                     h = out[8]
                     i += 2
@@ -742,16 +817,17 @@ def run_stereo_bench(gt):
             tracker.sync_device()
             return (time.perf_counter() - t0) / frames_per_rep
 
-        best = {False: np.inf, True: np.inf}
+        best = {1: np.inf, 2: np.inf, 4: np.inf}
         for _ in range(reps):
-            for pair in (False, True):
-                best[pair] = min(best[pair], run(pair))
-        return best[True] < best[False]
+            for mode in (1, 2, 4):
+                best[mode] = min(best[mode], run(mode))
+        return min(best, key=best.get)
 
     # warmup: one full orbit (compiles per-frame + pair + KF/loop programs)
     t0 = time.time()
-    ingest(0, N_FRAMES, 0, pair=False)
-    ingest(0, 4, 0, pair=True)
+    ingest(0, N_FRAMES, 0, mode=1)
+    ingest(0, 4, 0, mode=2)
+    ingest(0, 8, 0, mode=4)
     tracker.flush()
     if tracker.loop_closer is not None:
         tracker.loop_closer.db.refit_idf()
@@ -768,12 +844,12 @@ def run_stereo_bench(gt):
     for w in range(n_windows + 1):  # window 0 = unscored settle
         tracker.reset_map()
         tracker.timer.paused = True
-        ingest(0, WARMUP, (w + 1) * N_FRAMES, pair=False)
+        ingest(0, WARMUP, (w + 1) * N_FRAMES, mode=1)
         tracker.timer.paused = False
         tracker.sync_device()
         pk = probe_pair()
         t0 = time.time()
-        ingest(WARMUP, N_FRAMES, (w + 1) * N_FRAMES, pair=pk)
+        ingest(WARMUP, N_FRAMES, (w + 1) * N_FRAMES, mode=pk)
         tracker.flush()
         dt = time.time() - t0
         if w == 0:
@@ -792,7 +868,7 @@ def run_stereo_bench(gt):
     print(
         f"[bench] stereo: {fps:.1f} fps (windows: "
         f"{', '.join(f'{f:.1f}' for f in window_fps)}; "
-        f"pair-step/window: {pair_modes}), ATE {rmse*100:.2f} cm, "
+        f"step-mode/window: {pair_modes}), ATE {rmse*100:.2f} cm, "
         f"RPE {rpe_t*100:.2f} cm/frame, "
         f"{len(tracker.graph.alive_kfs())} keyframes",
         file=sys.stderr,

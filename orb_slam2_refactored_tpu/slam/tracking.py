@@ -389,6 +389,11 @@ class Tracker:
                 self._unpack_stereo_impl(buf_a),
                 self._unpack_stereo_impl(buf_b), *rest)
         )
+        # k-frame chained stereo step (stereo mirror of _stepk_packed)
+        self._stepk_stereo_packed = jax.jit(
+            lambda bufs, *rest: self._stepk_stereo_impl(
+                [self._unpack_stereo_impl(b) for b in bufs], *rest)
+        )
         self._insert_kf = jax.jit(self._insert_kf_impl, donate_argnums=(0,))
         self._insert_kf_auto = jax.jit(
             self._insert_kf_auto_impl, donate_argnums=(0,)
@@ -616,6 +621,45 @@ class Tracker:
                                    mp_seen, fidx)
         return (f1, pose1, vel1, fmp1, f2, pose2, vel2, fmp2,
                 jnp.stack([pack1, pack2]), mp_vis, mp_found, mp_seen, fidx)
+
+    def _stepk_stereo_impl(self, unpacked_list, last, last_mp, m, pose_last,
+                           velocity, ref_kf, mp_vis, mp_found, local_mask,
+                           mp_seen, fidx):
+        """k chained STEREO steps in one program (mirror of `_stepk_impl`)."""
+        outs = []
+        packs = []
+        f, fmp, pose, vel = last, last_mp, pose_last, velocity
+        for u in unpacked_list:
+            (f, pose, vel, fmp, pack, mp_vis, mp_found, mp_seen, fidx) = \
+                self._step_stereo_impl(*u, f, fmp, m, pose, vel, ref_kf,
+                                       mp_vis, mp_found, local_mask,
+                                       mp_seen, fidx)
+            outs.append((f, pose, vel, fmp))
+            packs.append(pack)
+        return (outs, jnp.stack(packs), mp_vis, mp_found, mp_seen, fidx)
+
+    def track_stereo_chain_uploaded(self, bufs, timestamps=None):
+        """Track k stereo pairs via the chained program — one dispatch RPC
+        + one stacked pack fetch per k frames (stereo mirror of
+        `track_rgbd_chain_uploaded`, same staleness caveat)."""
+        k = len(bufs)
+        if timestamps is None:
+            timestamps = [0.0] * k
+        if not (self.cfg.pipelined and self.state == TrackState.OK
+                and k >= 2):
+            for b, ts in zip(bufs, timestamps):
+                self.track_stereo_uploaded(b, ts)
+            return self.pose
+        return self._run_chain(
+            lambda: self._stepk_stereo_packed(
+                tuple(bufs),
+                self.last_frame, self.last_mp_dev, self.map,
+                self.pose_dev, self.velocity_dev, self._ref_kf_scalar(),
+                self.mp_vis_dev, self.mp_found_dev, self.local_mask_dev,
+                self.mp_seen_dev, self.fidx_dev,
+            ),
+            timestamps,
+        )
 
     def _prepare_stereo_impl(self, img_l, img_r) -> FrameData:
         """L/R extraction (the reference forks two threads,
@@ -1485,7 +1529,34 @@ class Tracker:
         (`src/Tracking.cc:1020-1185`): windowed matching against a reference
         frame, parallel H/F RANSAC, triangulated bootstrap map normalized to
         unit median depth."""
-        img_j = jnp.asarray(img)
+        img_j = jnp.asarray(self._pack_mono(img))
+        return self.track_mono_uploaded(img_j, timestamp)
+
+    def _pack_mono(self, img: np.ndarray) -> np.ndarray:
+        """8-bit mono wire (gray conversion on host, round-to-nearest) —
+        4x fewer upload bytes than the old f32 path; real datasets are
+        8-bit anyway."""
+        img = np.asarray(img)
+        if img.ndim == 3:  # ConvertToGray on host (src/System.cc:122-151)
+            img = (img.astype(np.float32) @
+                   np.array([0.299, 0.587, 0.114], np.float32))
+        if img.dtype != np.uint8:
+            img = np.clip(np.rint(img), 0, 255)
+        return np.ascontiguousarray(img, np.uint8)
+
+    def prefetch_mono(self, imgs):
+        """Pack + upload mono frames from the worker pool (mirror of
+        `prefetch_rgbd`)."""
+        if not hasattr(self, "_upload_pool"):
+            self.prefetch_rgbd([], [])  # init pool only
+        return [
+            self._upload_pool.submit(
+                lambda i=i: jnp.asarray(self._pack_mono(imgs[i])))
+            for i in range(len(imgs))
+        ]
+
+    def track_mono_uploaded(self, img_j, timestamp: float = 0.0):
+        """Track one mono frame from an already-uploaded uint8 image."""
 
         def prep():
             return self._prepare_mono(img_j)
