@@ -836,7 +836,9 @@ def run_stereo_bench(gt):
     print(f"[bench] stereo warmup (full orbit) {time.time()-t0:.1f}s",
           file=sys.stderr)
 
-    n_windows = int(os.environ.get("BENCH_STEREO_WINDOWS", "5"))
+    # 3 windows (median): bounds the whole bench (main + orbvoc + mono +
+    # stereo) to ~20 min with warm caches
+    n_windows = int(os.environ.get("BENCH_STEREO_WINDOWS", "3"))
     tracker.timer.reset()
     window_fps = []
     rmse = None
