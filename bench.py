@@ -363,6 +363,7 @@ def main():
     # minutes; see VERDICT r3 weak #1 and the probe-chosen batch print)
     tracker.timer.reset()
     window_fps = []
+    window_ate = []
     rmse = None
     rpe_t = None
     batches = []
@@ -392,13 +393,17 @@ def main():
         batches.append(bk)
         pair_modes.append(int(pk))
         window_fps.append((N_FRAMES - WARMUP) / dt)
+        # accuracy measured on EVERY window (re-warm + measured frames
+        # align 1:1 with gt over the whole orbit); the gate below uses the
+        # MEDIAN window ATE — one unlucky pipelined-timing window must not
+        # zero the score any more than one lucky one should pass it
+        est = np.stack(tracker.trajectory[-N_FRAMES:])
+        r_w, _ = ate_rmse(est, gt[:N_FRAMES], align="se3")
+        window_ate.append(r_w)
         if w == 1:
-            # accuracy gate on the first window (re-warm + measured frames
-            # align 1:1 with gt over the whole orbit)
-            est = np.stack(tracker.trajectory[-N_FRAMES:])
-            rmse, _ = ate_rmse(est, gt[:N_FRAMES], align="se3")
             rpe_t, rpe_r = rpe(est, gt[:N_FRAMES])
     fps = float(np.median(window_fps))
+    rmse = float(np.median(window_ate))
     n_kf = len(tracker.graph.alive_kfs())
     n_loops = (tracker.loop_closer.loops_closed
                if tracker.loop_closer is not None else 0)
@@ -410,7 +415,9 @@ def main():
         f"{', '.join(f'{f:.1f}' for f in window_fps)}; "
         f"probe-chosen batch/window: {batches}, "
         f"step-mode/window: {pair_modes}), "
-        f"ATE {rmse*100:.2f} cm, RPE {rpe_t*100:.2f} cm/frame, "
+        f"ATE median {rmse*100:.2f} cm (windows: "
+        f"{', '.join(f'{a*100:.2f}' for a in window_ate)}), "
+        f"RPE {rpe_t*100:.2f} cm/frame, "
         f"{n_kf} keyframes, state={tracker.state}",
         file=sys.stderr,
     )
@@ -841,6 +848,7 @@ def run_stereo_bench(gt):
     n_windows = int(os.environ.get("BENCH_STEREO_WINDOWS", "3"))
     tracker.timer.reset()
     window_fps = []
+    window_ate = []
     rmse = None
     pair_modes = []
     for w in range(n_windows + 1):  # window 0 = unscored settle
@@ -862,15 +870,18 @@ def run_stereo_bench(gt):
             continue
         pair_modes.append(int(pk))
         window_fps.append((N_FRAMES - WARMUP) / dt)
+        est = np.stack(tracker.trajectory[-N_FRAMES:])
+        r_w, _ = ate_rmse(est, gt[:N_FRAMES], align="se3")
+        window_ate.append(r_w)
         if w == 1:
-            est = np.stack(tracker.trajectory[-N_FRAMES:])
-            rmse, _ = ate_rmse(est, gt[:N_FRAMES], align="se3")
             rpe_t, _ = rpe(est, gt[:N_FRAMES])
     fps = float(np.median(window_fps))
+    rmse = float(np.median(window_ate))
     print(
         f"[bench] stereo: {fps:.1f} fps (windows: "
         f"{', '.join(f'{f:.1f}' for f in window_fps)}; "
-        f"step-mode/window: {pair_modes}), ATE {rmse*100:.2f} cm, "
+        f"step-mode/window: {pair_modes}), ATE median {rmse*100:.2f} cm "
+        f"(windows: {', '.join(f'{a*100:.2f}' for a in window_ate)}), "
         f"RPE {rpe_t*100:.2f} cm/frame, "
         f"{len(tracker.graph.alive_kfs())} keyframes",
         file=sys.stderr,
