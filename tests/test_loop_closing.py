@@ -102,3 +102,76 @@ class TestLoopMachinery:
         assert moved.max() < 0.3
         # loop edge recorded
         assert first_kf in tracker.graph.loop_edges.get(last_kf, set())
+
+
+class TestGbaMergeLateKeyframes:
+    def test_merge_preserves_relative_pose_to_merge_time_parent(self, tracked):
+        """Regression pin for the round-5 GBA-merge bug: keyframes created
+        AFTER a GBA launch must be corrected relative to their parent's
+        pose AT MERGE TIME (reference TcwBefGBA semantics,
+        `src/LoopClosing.cc:393-446`). The old code used the LAUNCH
+        snapshot; when anything (window BA) moved the parent between
+        launch and merge, the child landed offset by exactly that motion
+        (0.55 m on the organic-loop circuit). Invariant: the child->parent
+        relative pose survives the merge bit-for-bit, and cascades through
+        chains of late keyframes."""
+        from orb_slam2_refactored_tpu.geometry import se3
+        from orb_slam2_refactored_tpu.slam.system import (
+            _np_compose, _np_inverse,
+        )
+
+        tracker, gt = tracked
+        g = tracker.graph
+        m = tracker.map
+        kfs = [int(k) for k in g.alive_kfs()]
+        assert len(kfs) >= 4
+        voc_desc = np.asarray(m.kf_desc[kfs[0]])
+        voc = train_vocabulary(voc_desc, n_words=256, iters=4)
+        lc = LoopCloser(voc, tracker.cam,
+                        tracker.cfg.map_capacity.max_keyframes,
+                        tracker.cfg.n_levels, tracker.cfg.scale_factor)
+
+        pending = lc.launch_gba(m, g)
+
+        # simulate: (a) window BA moving a launched keyframe after launch,
+        # (b) TWO late keyframes forming a parent chain off it
+        moved = kfs[-1]
+        bump = np.asarray(se3.exp(jnp.asarray(
+            [0.02, -0.01, 0.03, 0.15, -0.1, 0.08], jnp.float32)))
+        cur = np.array(m.kf_pose)  # writable copy
+        cur[moved] = _np_compose(bump, cur[moved])
+        late1 = g.alloc_kf_slot()
+        g.set_kf_alive(late1, True)
+        g.kf_seq[late1] = g.num_kfs
+        g.num_kfs += 1
+        g.parent[late1] = moved
+        cur[late1] = _np_compose(
+            np.asarray(se3.exp(jnp.asarray([0, 0, 0, 0.05, 0, 0],
+                                           jnp.float32))), cur[moved])
+        late2 = g.alloc_kf_slot()
+        g.set_kf_alive(late2, True)
+        g.kf_seq[late2] = g.num_kfs
+        g.num_kfs += 1
+        g.parent[late2] = late1
+        cur[late2] = _np_compose(
+            np.asarray(se3.exp(jnp.asarray([0, 0, 0, 0.05, 0, 0],
+                                           jnp.float32))), cur[late1])
+        m = m._replace(
+            kf_pose=jnp.asarray(cur),
+            kf_valid=m.kf_valid.at[jnp.asarray([late1, late2])].set(True),
+        )
+
+        m2, _ = lc.merge_gba(m, g, pending)
+        new = np.asarray(m2.kf_pose)
+
+        # launched keyframes adopt the GBA pose (the bump is discarded)
+        gba = np.asarray(pending["gba_pose"])
+        assert np.allclose(new[moved], gba[moved], atol=1e-5)
+        # late chain: child->parent relatives preserved vs MERGE-TIME poses
+        for child, parent in ((late1, moved), (late2, late1)):
+            rel_before = _np_compose(cur[child], _np_inverse(cur[parent]))
+            rel_after = _np_compose(new[child], _np_inverse(new[parent]))
+            err = np.linalg.norm(
+                np.asarray(se3.boxminus(jnp.asarray(rel_after),
+                                        jnp.asarray(rel_before))))
+            assert err < 1e-4, (child, parent, err)
