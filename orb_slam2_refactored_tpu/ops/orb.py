@@ -162,6 +162,13 @@ def select_spread_topk(score, k: int, cell: int = 32, rank_rounds: int = 4):
     # features loops match on, and the 100k-vocab loop circuit's corrected
     # ATE regressed 0.048 -> 0.090 m — reverted: 0.16 ms is not worth a
     # measured loop-quality regression on a link-bound engine.
+    # A CROSS-LEVEL BATCHED form (concatenate all levels' tiles, run the
+    # rank rounds once — bit-identical selection) was also built and
+    # measured in round 5: 3.05-3.55 ms extract vs 2.86 ms per-level, both
+    # flat-batched and grouped-by-round-count — the small levels' many
+    # rounds drag the big levels' tiles through extra memory passes, and
+    # XLA already pipelines the per-level tiny ops inside the one compiled
+    # program. Reverted; the sequential form IS the fast one.
     ph, pw = (-h) % cell, (-w) % cell
     sp = jnp.pad(score, ((0, ph), (0, pw)))
     hc, wc = (h + ph) // cell, (w + pw) // cell
