@@ -850,6 +850,7 @@ def run_stereo_bench(gt):
     window_fps = []
     window_ate = []
     rmse = None
+    rpe_t = None
     pair_modes = []
     for w in range(n_windows + 1):  # window 0 = unscored settle
         tracker.reset_map()
@@ -875,6 +876,9 @@ def run_stereo_bench(gt):
         window_ate.append(r_w)
         if w == 1:
             rpe_t, _ = rpe(est, gt[:N_FRAMES])
+    if not window_fps:  # BENCH_STEREO_WINDOWS=0: settle-only, nothing to score
+        print("[bench] stereo: no measured windows", file=sys.stderr)
+        return
     fps = float(np.median(window_fps))
     rmse = float(np.median(window_ate))
     print(
@@ -882,7 +886,7 @@ def run_stereo_bench(gt):
         f"{', '.join(f'{f:.1f}' for f in window_fps)}; "
         f"step-mode/window: {pair_modes}), ATE median {rmse*100:.2f} cm "
         f"(windows: {', '.join(f'{a*100:.2f}' for a in window_ate)}), "
-        f"RPE {rpe_t*100:.2f} cm/frame, "
+        f"RPE {(rpe_t or 0)*100:.2f} cm/frame, "
         f"{len(tracker.graph.alive_kfs())} keyframes",
         file=sys.stderr,
     )

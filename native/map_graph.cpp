@@ -120,8 +120,13 @@ int32_t mg_get_obs(void* h, int32_t pt, int32_t* out_kf, int32_t* out_feat,
 // Outputs: new observations (add_*), chain-resolved duplicate merges
 // (merge_*), kf_row-mirror updates (upd_*: transplants + clears; the adds
 // are also included) and killed points (quarantine bookkeeping stays
-// host-side). Returns 0 on success, -1 if any output capacity was hit
-// (caller falls back to the Python loop).
+// host-side). CAPACITY SEMANTICS: each item checks the remaining output
+// room BEFORE mutating anything and the function stops CLEANLY when the
+// next item would not fit — the arena, the returned mirror updates and
+// the device apply stay mutually consistent, the unprocessed tail simply
+// is not fused this keyframe (fusion is best-effort maintenance; later
+// keyframes retry). Returns the number of UNPROCESSED kept features
+// (0 = everything applied). Never leaves a half-applied item.
 int32_t mg_apply_fuse(void* h, const int32_t* srcs, const int32_t* dsts,
                       int32_t n_pairs, const int32_t* idx_all,
                       const int32_t* dst_pt_all, const uint8_t* keep_all,
@@ -135,7 +140,7 @@ int32_t mg_apply_fuse(void* h, const int32_t* srcs, const int32_t* dsts,
                       int32_t* killed, int32_t* n_killed_out,
                       int32_t cap_out) {
   auto* g = static_cast<MapGraphCore*>(h);
-  int32_t n_add = 0, n_merge = 0, n_upd = 0, n_killed = 0;
+  int32_t n_add = 0, n_merge = 0, n_upd = 0, n_killed = 0, truncated = 0;
   for (int32_t bi = 0; bi < n_pairs; ++bi) {
     int32_t b = dsts[bi];
     if (srcs[bi] == b) continue;  // padding self-pair
@@ -149,7 +154,7 @@ int32_t mg_apply_fuse(void* h, const int32_t* srcs, const int32_t* dsts,
         // dst feature has no landmark: add observation
         auto& o = g->obs[p_src];
         if (o.find(b) != o.end()) continue;
-        if (n_add >= cap_out || n_upd >= cap_out) return -1;
+        if (n_add >= cap_out || n_upd >= cap_out) { ++truncated; continue; }
         o[b] = f_dst;
         add_kf[n_add] = b; add_ft[n_add] = f_dst; add_pt[n_add] = p_src;
         ++n_add;
@@ -162,20 +167,25 @@ int32_t mg_apply_fuse(void* h, const int32_t* srcs, const int32_t* dsts,
         if (g->obs[p_dst].size() < g->obs[p_src].size()) {
           lo = p_dst; hi = p_src;
         }
-        // transplant lo's observations into hi where hi is absent
+        // capacity check BEFORE any mutation: the merge needs one mirror
+        // update per lo-observation, one merge record and one kill record
         std::vector<std::pair<int32_t, int32_t>> pairs(
             g->obs[lo].begin(), g->obs[lo].end());
+        if (n_upd + (int32_t)pairs.size() > cap_out ||
+            n_merge >= cap_out || n_killed >= cap_out) {
+          ++truncated;
+          continue;
+        }
+        // transplant lo's observations into hi where hi is absent
         auto& oh = g->obs[hi];
         for (auto& kv : pairs) {
           if (oh.find(kv.first) == oh.end()) {
-            if (n_upd >= cap_out) return -1;
             oh[kv.first] = kv.second;
             upd_kf[n_upd] = kv.first; upd_ft[n_upd] = kv.second;
             upd_val[n_upd] = hi;
             ++n_upd;
           } else {
             // hi already observed in that kf: lo's feature slot clears
-            if (n_upd >= cap_out) return -1;
             upd_kf[n_upd] = kv.first; upd_ft[n_upd] = kv.second;
             upd_val[n_upd] = -1;
             ++n_upd;
@@ -184,7 +194,6 @@ int32_t mg_apply_fuse(void* h, const int32_t* srcs, const int32_t* dsts,
         // kill lo
         g->pt_alive[lo] = 0;
         g->obs[lo].clear();
-        if (n_merge >= cap_out || n_killed >= cap_out) return -1;
         merge_src[n_merge] = lo; merge_dst[n_merge] = hi; ++n_merge;
         killed[n_killed++] = lo;
       }
@@ -205,7 +214,7 @@ int32_t mg_apply_fuse(void* h, const int32_t* srcs, const int32_t* dsts,
   }
   *n_add_out = n_add; *n_merge_out = n_merge;
   *n_upd_out = n_upd; *n_killed_out = n_killed;
-  return 0;
+  return truncated;
 }
 
 // Bulk export for refresh_points: scan a keyframe's mp_row, select alive

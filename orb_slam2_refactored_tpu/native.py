@@ -244,8 +244,13 @@ class NativeMapGraph:
         """Arena-side fuse-decision application (mg_apply_fuse): ONE FFI
         call replacing the Python per-pair/per-feature loop. Returns
         (adds (kf, ft, pt), merges (src, dst chain-resolved), killed) and
-        applies the kf_row mirror updates in place. None -> capacity hit,
-        caller must use the Python fallback."""
+        applies the kf_row mirror updates in place.
+
+        Capacity is handled INSIDE the arena call: each item checks the
+        remaining output room before mutating, so on overflow the tail is
+        cleanly skipped (fusion is best-effort per keyframe; later
+        keyframes retry) and everything returned is consistent — there is
+        no half-applied state and no fallback re-run."""
         n_pairs = len(srcs)
         n_feat = idx_all.shape[1]
         cap = max(n_pairs * n_feat * 2, 1024)
@@ -275,8 +280,11 @@ class NativeMapGraph:
             _as_i32_ptr(kl), _as_i32_ptr(counts[3:4]),
             cap,
         )
-        if rc != 0:
-            return None
+        if rc > 0:
+            import sys
+
+            print(f"[map-graph] fuse output capacity hit: {int(rc)} kept "
+                  f"features deferred to later keyframes", file=sys.stderr)
         n_add, n_merge, n_upd, n_kill = (int(c) for c in counts)
         # mirror maintenance (the arena already updated its obs maps)
         if n_upd:

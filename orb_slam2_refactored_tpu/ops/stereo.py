@@ -192,12 +192,21 @@ def refine_subpixel_pyramid(
                           0.5 * (s_m - s_p) / denom, 2.0)
         ur_f = (ur.astype(jnp.float32) + (bi - R_SAD).astype(jnp.float32)
                 + jnp.clip(delta, -1.0, 1.0))
-        return ur_f, sads[bi], jnp.abs(delta) <= 1.0
+        # a border argmin means the true minimum may lie OUTSIDE the +-R
+        # search window — the reference rejects it outright
+        # (`if(bestincR==-L||bestincR==L) continue`, :210-212); without
+        # this gate the clip above silently shifts to a non-minimum
+        # interior sample
+        interior = (best != 0) & (best != 2 * R_SAD)
+        return ur_f, sads[bi], (jnp.abs(delta) <= 1.0) & interior
 
     ur_lvl, sad_best, delta_ok = jax.vmap(one)(rows_l, rows_r, xl, ur0)
     ur_ref = ur_lvl * scale_factors[lvl]              # back to level 0
     disparity = l_xy[:, 0] - ur_ref
     import os as _os
+    # diagnostic knob, read at TRACE time (baked into the compiled
+    # program): set TPU_SLAM_SAD_LOOSE=1 BEFORE building any stereo
+    # tracker in the process; flipping it later has no effect
     strict = _os.environ.get("TPU_SLAM_SAD_LOOSE", "") in ("", "0")
     good = valid & (disparity > 0.01) & (disparity < bf)
     if strict:

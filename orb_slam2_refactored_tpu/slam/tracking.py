@@ -579,18 +579,10 @@ class Tracker:
         DCT wire coding applies to both images."""
         bufs = []
         for img in (img_l, img_r):
-            img = np.asarray(img)
-            if img.ndim == 3:
-                img = (img.astype(np.float32) @
-                       np.array([0.299, 0.587, 0.114], np.float32))
-            if img.dtype != np.uint8:  # round, don't truncate: the 8-bit
-                # wire must be the NEAREST gray level or subpixel SAD pays
-                img = np.clip(np.rint(img), 0, 255)
+            img = self._pack_mono(img)  # shared 8-bit wire quantization
             if self.cfg.image_encoding == "dct":
                 from ..ops import codec
-                img = codec.encode_dct(np.ascontiguousarray(img, np.uint8))
-            else:
-                img = np.ascontiguousarray(img, np.uint8)
+                img = codec.encode_dct(img)
             bufs.append(img.reshape(-1))
         return np.concatenate(bufs)
 
@@ -610,17 +602,16 @@ class Tracker:
         """TWO chained stereo tracking steps in ONE compiled program — the
         stereo mirror of `_step2_impl` (same RPC-halving rationale and the
         same near-equivalence caveat: frame b sees map state at most one
-        finalize staler than the per-frame path)."""
-        (f1, pose1, vel1, fmp1, pack1, mp_vis, mp_found, mp_seen, fidx) = \
-            self._step_stereo_impl(*unpacked_a, last, last_mp, m, pose_last,
-                                   velocity, ref_kf, mp_vis, mp_found,
-                                   local_mask, mp_seen, fidx)
-        (f2, pose2, vel2, fmp2, pack2, mp_vis, mp_found, mp_seen, fidx) = \
-            self._step_stereo_impl(*unpacked_b, f1, fmp1, m, pose1, vel1,
-                                   ref_kf, mp_vis, mp_found, local_mask,
-                                   mp_seen, fidx)
+        finalize staler than the per-frame path). The k=2 case of
+        `_stepk_stereo_impl`, flattened to the legacy pair tuple."""
+        outs, packs, mp_vis, mp_found, mp_seen, fidx = \
+            self._stepk_stereo_impl(
+                [unpacked_a, unpacked_b], last, last_mp, m, pose_last,
+                velocity, ref_kf, mp_vis, mp_found, local_mask, mp_seen,
+                fidx)
+        (f1, pose1, vel1, fmp1), (f2, pose2, vel2, fmp2) = outs
         return (f1, pose1, vel1, fmp1, f2, pose2, vel2, fmp2,
-                jnp.stack([pack1, pack2]), mp_vis, mp_found, mp_seen, fidx)
+                packs, mp_vis, mp_found, mp_seen, fidx)
 
     def _stepk_stereo_impl(self, unpacked_list, last, last_mp, m, pose_last,
                            velocity, ref_kf, mp_vis, mp_found, local_mask,
@@ -987,16 +978,14 @@ class Tracker:
         `pipeline_depth` frames (the reference's mapping thread lagged
         tracking too, `/root/reference/src/System.cc:398-411`), and the
         map/local-mask inputs both frames see are at most one frame
-        staler than the per-frame path's."""
-        (f1, pose1, vel1, fmp1, pack1, mp_vis, mp_found, mp_seen, fidx) = \
-            self._step_impl(*unpacked_a, last, last_mp, m, pose_last,
-                            velocity, ref_kf, mp_vis, mp_found, local_mask,
-                            mp_seen, fidx)
-        (f2, pose2, vel2, fmp2, pack2, mp_vis, mp_found, mp_seen, fidx) = \
-            self._step_impl(*unpacked_b, f1, fmp1, m, pose1, vel1, ref_kf,
-                            mp_vis, mp_found, local_mask, mp_seen, fidx)
+        staler than the per-frame path's. Implemented as the k=2 case of
+        `_stepk_impl`, flattened to the legacy pair tuple."""
+        outs, packs, mp_vis, mp_found, mp_seen, fidx = self._stepk_impl(
+            [unpacked_a, unpacked_b], last, last_mp, m, pose_last,
+            velocity, ref_kf, mp_vis, mp_found, local_mask, mp_seen, fidx)
+        (f1, pose1, vel1, fmp1), (f2, pose2, vel2, fmp2) = outs
         return (f1, pose1, vel1, fmp1, f2, pose2, vel2, fmp2,
-                jnp.stack([pack1, pack2]), mp_vis, mp_found, mp_seen, fidx)
+                packs, mp_vis, mp_found, mp_seen, fidx)
 
     def _stepk_impl(self, unpacked_list, last, last_mp, m, pose_last,
                     velocity, ref_kf, mp_vis, mp_found, local_mask,
@@ -1224,31 +1213,16 @@ class Tracker:
 
     def _run_pair(self, step2_fn, ts_a: float, ts_b: float):
         """Dispatch a fused pair step and enqueue BOTH frames into the
-        software pipeline (two entries sharing one batched pack fetch via
-        `_RowFut`), then run the per-frame host epilogue twice."""
+        software pipeline — the k=2 case of `_run_chain`'s host epilogue
+        (the pair step program returns the legacy flat tuple)."""
         with self.timer.time("track.dispatch"):
             (f1, pose1, vel1, fmp1, f2, pose2, vel2, fmp2, packs,
              self.mp_vis_dev, self.mp_found_dev,
              self.mp_seen_dev, self.fidx_dev) = step2_fn()
-        packs.copy_to_host_async()
-        fut = self._fetch_pool.submit(np.asarray, packs)
-        q = getattr(self, "_pending_q", None)
-        if q is None:
-            q = self._pending_q = []
-        q.append((f1, pose1, vel1, fmp1, _RowFut(fut, 0), ts_a, self.ref_kf))
-        q.append((f2, pose2, vel2, fmp2, _RowFut(fut, 1), ts_b, self.ref_kf))
-        self.pose_dev, self.velocity_dev = pose2, vel2
-        self.last_frame = f2
-        self.last_mp_dev = fmp2
-        for _ in range(2):  # the per-frame host epilogue, twice
-            while len(q) > max(int(self.cfg.pipeline_depth), 1):
-                with self.timer.time("track.finalize"):
-                    self._finalize_pending(q.pop(0))
-                if self.state != TrackState.OK:
-                    break  # loss drained the queue inside finalize
-            self._pump_mapping()
-            self.frame_id += 1
-        return self.pose
+        return self._finish_chain(
+            [(f1, pose1, vel1, fmp1), (f2, pose2, vel2, fmp2)], packs,
+            [ts_a, ts_b],
+        )
 
     def track_rgbd_chain_uploaded(self, bufs, timestamps=None):
         """Track k RGB-D frames from already-uploaded packed buffers via the
@@ -1279,10 +1253,15 @@ class Tracker:
     def _run_chain(self, stepk_fn, timestamps):
         """Dispatch a k-frame chained step and enqueue all k frames into the
         software pipeline (sharing one stacked pack fetch), then run the
-        per-frame host epilogue k times (generalized `_run_pair`)."""
+        per-frame host epilogue k times."""
         with self.timer.time("track.dispatch"):
             (outs, packs, self.mp_vis_dev, self.mp_found_dev,
              self.mp_seen_dev, self.fidx_dev) = stepk_fn()
+        return self._finish_chain(outs, packs, timestamps)
+
+    def _finish_chain(self, outs, packs, timestamps):
+        """Shared host epilogue for fused multi-frame steps: one stacked
+        pack fetch, k pipeline entries, k finalize/pump rounds."""
         packs.copy_to_host_async()
         fut = self._fetch_pool.submit(np.asarray, packs)
         q = getattr(self, "_pending_q", None)

@@ -111,10 +111,15 @@ class LiveViewer:
         path = os.path.join(self.out_dir, "control")
         if not os.path.exists(path):
             return
+        claimed = os.path.join(self.out_dir, ".control_consumed")
         try:
-            with open(path) as f:
+            # claim FIRST via atomic rename, then read: a plain
+            # read-then-remove would delete a file the operator rewrote
+            # between the two calls, silently dropping those commands
+            os.replace(path, claimed)
+            with open(claimed) as f:
                 lines = f.read().splitlines()
-            os.remove(path)
+            os.remove(claimed)
         except OSError:
             return  # producer mid-write; retry next tick
         for line in lines:
