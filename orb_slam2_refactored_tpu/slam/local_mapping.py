@@ -140,7 +140,7 @@ class LocalMapper:
 
     def ratio_ready(self) -> bool:
         p = getattr(self, "_pending_ratio", None)
-        return p is None or (p[1].done() and p[2].done())
+        return p is None or p[1].done()
 
     # -- jitted programs -------------------------------------------------
 
@@ -795,9 +795,9 @@ class LocalMapper:
         if pend is None:
             return m
         self._pending_ratio = None
-        ref_kf, vis_fut, found_fut = pend
-        vis = vis_fut.result()
-        found = found_fut.result()
+        ref_kf, packed_fut = pend
+        packed = packed_fut.result()
+        vis, found = packed[0], packed[1]
         ratio = found / np.maximum(vis, 1)
         kill = []
         cur_seq = int(graph.kf_seq[ref_kf])
@@ -819,10 +819,14 @@ class LocalMapper:
 
     def queue_ratio_cull(self, ref_kf: int, vis_dev, found_dev):
         """Stash the found/visible counters (device, functional snapshot)
-        for ratio culling at the next drain. The async copies land during
-        the frames in between — zero blocking reads."""
-        self._pending_ratio = (ref_kf, self._fetch(vis_dev),
-                               self._fetch(found_dev))
+        for ratio culling at the next drain. The async copy lands during
+        the frames in between — zero blocking reads. ONE stacked readback
+        (two RPCs cost two fixed ~12 ms service slots under congestion)."""
+        if not hasattr(self, "_stack_counters"):
+            self._stack_counters = jax.jit(lambda a, b: jnp.stack([a, b]))
+        self._pending_ratio = (ref_kf,
+                               self._fetch(self._stack_counters(vis_dev,
+                                                                found_dev)))
 
     def drain_ba_erase(self, m: MapArrays, graph: MapGraph):
         """Apply the PREVIOUS keyframe's BA outlier erasure to the host

@@ -94,15 +94,23 @@ class LoopCloser:
         paying its own ~30 ms tunnel round trip."""
         v = self.add_keyframe_bow(m, kf)
         s_dev, cw_dev = self.db.score_query(v)
-        return (kf, fetch(s_dev), fetch(cw_dev))
+        # ONE stacked readback instead of two: under link congestion every
+        # RPC pays a fixed ~12 ms service cost, and the keyframe stages'
+        # fetch count is half the congested-phase RPC budget (common
+        # counts are < 2^24 — exact in f32)
+        if not hasattr(self, "_stack2"):
+            self._stack2 = jax.jit(
+                lambda a, b: jnp.stack([a, b.astype(jnp.float32)]))
+        return (kf, fetch(self._stack2(s_dev, cw_dev)))
 
     def resolve_detection(self, graph: MapGraph, kf: int, pending) -> Optional[int]:
         """Finish a `dispatch_detection` query: apply the host-side active
         mask and run the detection policy."""
-        pkf, s_fut, cw_fut = pending
+        pkf, packed_fut = pending
         assert pkf == kf
-        s = s_fut.result().copy()
-        cw = cw_fut.result().copy()
+        packed = packed_fut.result()
+        s = packed[0].copy()
+        cw = packed[1].astype(np.int32)
         s[~self.db.active] = -1.0
         cw[~self.db.active] = 0
         return self._detect_policy(graph, kf, s, cw)
