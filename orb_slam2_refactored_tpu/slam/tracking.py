@@ -657,7 +657,15 @@ class Tracker:
         `/root/reference/src/System.cc:449-452`; here XLA overlaps the two
         extraction subgraphs — sequential tracing measured 7.1 ms vs
         13.1 ms for a vmapped camera axis, whose batched tiny argmax
-        rounds lower badly) + row-banded stereo association
+        rounds lower badly. A round-5 shared-work retry that vmapped ONLY
+        the dense stages (pyramid/FAST) and batched the descriptor
+        matmuls over the concatenated keypoint axis ALSO lost: 5.6 ms vs
+        4.1 ms sequential at VGA — stage A/B showed vmapped FAST rolls
+        lower 2x slower (1.13 vs 0.59 ms; row-concat [2H,W] 0.82 ms),
+        and the K=2000 descriptor contraction is HBM-bound on its
+        [K,961,256] table rows, so concatenation saves nothing and adds
+        a copy. XLA's own cross-subgraph overlap beats every explicit
+        batching of this pair) + row-banded stereo association
         (`src/ORBmatcher.cc:72-247`). The extractor's own pyramids feed the
         SAD refinement — no rebuild."""
         from ..ops.stereo import refine_subpixel_pyramid, stereo_match
