@@ -164,7 +164,7 @@ def unpack_desc(desc_u32):
     return np.unpackbits(by, axis=1, bitorder="little").astype(bool)
 
 
-def test_image(h=120, w=160, seed=3):
+def make_test_image(h=120, w=160, seed=3):
     rng = np.random.default_rng(seed)
     img = rng.integers(0, 256, (h, w)).astype(np.float64)
     img = oracle_blur(img) * 0.7 + oracle_blur(oracle_blur(img)) * 0.3
@@ -196,7 +196,7 @@ def _interior_corners(img, n=150, margin=orb_ops.EDGE_MARGIN):
 
 class TestFastParity:
     def test_strength_exact(self):
-        img = test_image()
+        img = make_test_image()
         ours = np.asarray(fast_ops.fast_strength_map(img.astype(np.float32)))
         ref = oracle_fast_strength(img)
         inner = np.s_[3:-3, 3:-3]
@@ -204,7 +204,7 @@ class TestFastParity:
             f"{np.abs(ours - ref)[inner].max()} max strength delta")
 
     def test_corner_mask_both_thresholds(self):
-        img = test_image(seed=9)
+        img = make_test_image(seed=9)
         ours = np.asarray(fast_ops.fast_strength_map(img.astype(np.float32)))
         ref = oracle_fast_strength(img)
         for th in (20.0, 7.0):  # iniThFAST / minThFAST defaults
@@ -224,7 +224,7 @@ def test_ic_angle_parity():
     `orb_ops._umax_table`; a plain x^2+y^2<=r^2 mask was measured 3.9 deg
     median / 31 deg max off and replaced). Tolerance covers only f32-vs-f64
     moment accumulation."""
-    img = test_image(seed=5)
+    img = make_test_image(seed=5)
     ys, xs = _interior_corners(img)
     assert len(ys) >= 40
     umax = oracle_umax()
@@ -238,7 +238,7 @@ def test_ic_angle_parity():
 
 class TestDescriptorParity:
     def _setup(self, pattern_name):
-        img = test_image(seed=7)
+        img = make_test_image(seed=7)
         ys, xs = _interior_corners(img, n=120)
         blur_ref = oracle_blur(img)
         blur_ours = np.asarray(image_ops.gaussian_blur(
